@@ -1,0 +1,404 @@
+"""Tile-binned differentiable rasterizer (XLA implementation).
+
+Replaces pytorch3d's CUDA `rasterize_meshes` (the reference's hot native
+dependency, renderer_helper.py:44-48) with a TPU-friendly design:
+
+1.  **Binning** (integer, non-differentiable): faces are assigned to fixed
+    capacity per-tile lists by bbox overlap, via a masked top_k — static
+    shapes, no host control flow.
+2.  **Per-tile rasterization** (integer outputs): each tile computes signed
+    pixel-to-face distances / coverage for its face list and keeps
+    - soft mode: the K nearest-by-distance face ids within the blur radius
+      (for silhouette coverage), and
+    - hard mode: the argmin-depth covering face id (for color/normal/depth).
+3.  **Differentiable recompute**: given the integer ids, coverage
+    probabilities, barycentrics and depths are recomputed in plain JAX, so
+    autodiff produces exactly the soft-rasterizer gradients — no custom VJP,
+    and any faster id-producer (the Pallas kernel) is a drop-in swap.
+
+Geometry conventions match pytorch3d rasterization semantics: signed squared
+point-to-triangle-edge distance (negative inside), measured in NDC units
+(pixel distances scaled by 2/min(H,W)); faces participate in the soft list
+when inside or within `blur_radius`; coverage p = sigmoid(-dist/sigma);
+silhouette alpha = 1 - prod(1-p) (SoftSilhouetteShader semantics).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class RasterConfig:
+    image_size: int = 448
+    # Soft-rasterizer constants in NDC units (reference renderer_helper.py:37-48).
+    sigma: float = 1e-7
+    gamma: float = 1e-1
+    blur_radius: float = float(np.log(1.0 / 1e-4 - 1.0) * 1e-7)  # NDC^2
+    faces_per_pixel: int = 8  # K for the soft id list
+    tile: int = 16
+    cap: int = 256  # max faces binned per tile
+    bin_chunk: int = 32  # tiles per binning chunk
+    tile_chunk: int = 4  # tiles per raster chunk
+    face_chunk: int = 64  # faces per inner accumulation step
+    znear: float = 1e-6
+
+    @property
+    def ndc_scale(self) -> float:
+        """Pixel -> NDC length factor (square images)."""
+        return 2.0 / self.image_size
+
+    @property
+    def blur_px2(self) -> float:
+        """Blur radius in squared pixel units."""
+        return self.blur_radius / (self.ndc_scale**2)
+
+
+# ---------------------------------------------------------------------------
+# Shared geometry (differentiable)
+# ---------------------------------------------------------------------------
+
+
+def _seg_dist2(px, py, ax, ay, bx, by):
+    """Squared distance from point to segment, all inputs broadcastable."""
+    abx, aby = bx - ax, by - ay
+    apx, apy = px - ax, py - ay
+    denom = abx * abx + aby * aby + 1e-12
+    t = jnp.clip((apx * abx + apy * aby) / denom, 0.0, 1.0)
+    dx = apx - t * abx
+    dy = apy - t * aby
+    return dx * dx + dy * dy
+
+
+def face_pixel_geometry(fv: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray, cfg: RasterConfig):
+    """Per (face, pixel) rasterization quantities.
+
+    Args:
+      fv: (..., 3, 3) face vertices in screen space (u, v, z).
+      px, py: pixel center coordinates broadcastable against (...).
+
+    Returns dict with:
+      signed_d_ndc2: signed squared distance in NDC^2 (negative inside),
+      inside: bool coverage, z: affine-interpolated view depth,
+      bary: (..., 3) affine barycentrics, valid: face not degenerate/behind.
+    """
+    x0, y0, z0 = fv[..., 0, 0], fv[..., 0, 1], fv[..., 0, 2]
+    x1, y1, z1 = fv[..., 1, 0], fv[..., 1, 1], fv[..., 1, 2]
+    x2, y2, z2 = fv[..., 2, 0], fv[..., 2, 1], fv[..., 2, 2]
+
+    area2 = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
+    w0 = (x1 - px) * (y2 - py) - (x2 - px) * (y1 - py)
+    w1 = (x2 - px) * (y0 - py) - (x0 - px) * (y2 - py)
+    w2 = (x0 - px) * (y1 - py) - (x1 - px) * (y0 - py)
+    denom = jnp.where(jnp.abs(area2) > 1e-10, area2, jnp.where(area2 >= 0, 1e-10, -1e-10))
+    b0, b1, b2 = w0 / denom, w1 / denom, w2 / denom
+
+    degenerate = jnp.abs(area2) <= 1e-10
+    behind = (z0 <= cfg.znear) | (z1 <= cfg.znear) | (z2 <= cfg.znear)
+    valid = ~(degenerate | behind)
+
+    inside = (b0 >= 0) & (b1 >= 0) & (b2 >= 0) & valid
+    d2 = jnp.minimum(
+        jnp.minimum(
+            _seg_dist2(px, py, x0, y0, x1, y1),
+            _seg_dist2(px, py, x1, y1, x2, y2),
+        ),
+        _seg_dist2(px, py, x2, y2, x0, y0),
+    )
+    signed_px2 = jnp.where(inside, -d2, d2)
+    signed_d_ndc2 = signed_px2 * (cfg.ndc_scale**2)
+    z = b0 * z0 + b1 * z1 + b2 * z2
+    return {
+        "signed_d_ndc2": signed_d_ndc2,
+        "inside": inside,
+        "z": z,
+        "bary": jnp.stack([b0, b1, b2], axis=-1),
+        "valid": valid,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Binning + tiling (non-differentiable, id-producing)
+# ---------------------------------------------------------------------------
+
+
+def _bin_faces(fv: jnp.ndarray, cfg: RasterConfig):
+    """Assign faces to tiles. fv: (B, F, 3, 3). Returns ids (B, T, cap) int32
+    (-1 for empty slots) and overflow counts (B, T)."""
+    B, F = fv.shape[0], fv.shape[1]
+    ts = cfg.tile
+    nt = cfg.image_size // ts
+    T = nt * nt
+    pad = math.sqrt(max(cfg.blur_px2, 0.0)) + 1e-3
+
+    umin = fv[..., 0].min(-1) - pad
+    umax = fv[..., 0].max(-1) + pad
+    vmin = fv[..., 1].min(-1) - pad
+    vmax = fv[..., 1].max(-1) + pad
+    live = ~((fv[..., 2] <= cfg.znear).any(-1))  # cull behind-camera faces
+
+    tids = jnp.arange(T, dtype=jnp.int32)
+    tu0 = (tids % nt) * ts + 0.5
+    tv0 = (tids // nt) * ts + 0.5
+    tu1 = tu0 + (ts - 1)
+    tv1 = tv0 + (ts - 1)
+
+    def bin_chunk(tc):
+        # tc: (C,) tile indices
+        over = (
+            (umin[:, None, :] <= tu1[tc][None, :, None])
+            & (umax[:, None, :] >= tu0[tc][None, :, None])
+            & (vmin[:, None, :] <= tv1[tc][None, :, None])
+            & (vmax[:, None, :] >= tv0[tc][None, :, None])
+            & live[:, None, :]
+        )
+        key = over.astype(jnp.float32)
+        if key.shape[-1] < cfg.cap:  # fewer faces than the tile capacity
+            key = jnp.pad(key, ((0, 0), (0, 0), (0, cfg.cap - key.shape[-1])))
+        vals, idx = jax.lax.top_k(key, cfg.cap)
+        ids = jnp.where(vals > 0, idx.astype(jnp.int32), -1)
+        count = over.sum(-1).astype(jnp.int32)
+        return ids, count
+
+    n_chunks = -(-T // cfg.bin_chunk)
+    padded = jnp.concatenate([tids, jnp.zeros(n_chunks * cfg.bin_chunk - T, jnp.int32)])
+    chunks = padded.reshape(n_chunks, cfg.bin_chunk)
+    ids, counts = jax.lax.map(bin_chunk, chunks)  # (n_chunks, B, C, cap)
+    ids = jnp.moveaxis(ids, 1, 0).reshape(B, n_chunks * cfg.bin_chunk, cfg.cap)[:, :T]
+    counts = jnp.moveaxis(counts, 1, 0).reshape(B, -1)[:, :T]
+    return ids, counts
+
+
+def _tile_pixels(cfg: RasterConfig):
+    ts = cfg.tile
+    j = jnp.arange(ts * ts, dtype=jnp.float32)
+    pu = (j % ts) + 0.5
+    pv = (j // ts) + 0.5
+    return pu, pv
+
+
+def _untile(x: jnp.ndarray, cfg: RasterConfig):
+    """(B, T, P, ...) -> (B, H, W, ...)."""
+    ts = cfg.tile
+    nt = cfg.image_size // ts
+    trailing = x.shape[3:]
+    x = x.reshape((x.shape[0], nt, nt, ts, ts) + trailing)
+    x = jnp.moveaxis(x, 3, 2)  # (B, nty, ts, ntx, ts, ...)
+    return x.reshape((x.shape[0], cfg.image_size, cfg.image_size) + trailing)
+
+
+@partial(jax.jit, static_argnames=("cfg", "need_soft", "need_hard"))
+def _rasterize_ids(verts_px, faces, cfg: RasterConfig, need_soft: bool, need_hard: bool):
+    B = verts_px.shape[0]
+    fv = verts_px[:, faces]  # (B, F, 3, 3)
+    tile_ids, counts = _bin_faces(fv, cfg)
+    ts, K = cfg.tile, cfg.faces_per_pixel
+    nt = cfg.image_size // ts
+    T = nt * nt
+    P = ts * ts
+    pu, pv = _tile_pixels(cfg)
+    blur_px2 = cfg.blur_px2
+    fv9 = fv.reshape(B, -1, 9)
+
+    tid_all = jnp.arange(T, dtype=jnp.int32)
+    tc_count = -(-T // cfg.tile_chunk)
+    tid_pad = jnp.concatenate([tid_all, jnp.zeros(tc_count * cfg.tile_chunk - T, jnp.int32)])
+    tile_chunks = tid_pad.reshape(tc_count, cfg.tile_chunk)
+
+    n_face_steps = -(-cfg.cap // cfg.face_chunk)
+
+    def raster_chunk(tc):
+        # tc: (Tc,) tile indices
+        Tc = tc.shape[0]
+        ids_c = tile_ids[:, tc]  # (B, Tc, cap)
+        ou = ((tc % nt) * ts).astype(jnp.float32)  # (Tc,)
+        ov = ((tc // nt) * ts).astype(jnp.float32)
+        px = ou[None, :, None] + pu[None, None, :]  # (1, Tc, P)
+        py = ov[None, :, None] + pv[None, None, :]
+
+        soft_d0 = jnp.full((B, Tc, P, K), jnp.inf, jnp.float32)
+        soft_id0 = jnp.full((B, Tc, P, K), -1, jnp.int32)
+        hard_z0 = jnp.full((B, Tc, P), jnp.inf, jnp.float32)
+        hard_id0 = jnp.full((B, Tc, P), -1, jnp.int32)
+
+        def step(i, state):
+            soft_d, soft_id, hard_z, hard_id = state
+            sl = jax.lax.dynamic_slice_in_dim(ids_c, i * cfg.face_chunk, cfg.face_chunk, axis=2)
+            slot_valid = sl >= 0
+            slc = jnp.maximum(sl, 0)
+            # Gather face vertices: (B, Tc, fc, 3, 3)
+            fvc = jnp.take_along_axis(
+                fv9[:, None], slc[..., None], axis=2
+            ).reshape(B, Tc, cfg.face_chunk, 3, 3)
+            g = face_pixel_geometry(
+                fvc[..., None, :, :],  # (B, Tc, fc, 1, 3, 3)
+                px[:, :, None, :],
+                py[:, :, None, :],
+                cfg,
+            )
+            # (B, Tc, fc, P)
+            d_px2 = g["signed_d_ndc2"] / (cfg.ndc_scale**2)
+            ok = slot_valid[..., None] & g["valid"]
+            if need_soft:
+                cand_d = jnp.where(ok & (d_px2 <= blur_px2), d_px2, jnp.inf)
+                cand_d = jnp.moveaxis(cand_d, 2, 3)  # (B, Tc, P, fc)
+                cand_id = jnp.broadcast_to(
+                    jnp.moveaxis(slc[..., None], 2, 3), cand_d.shape
+                ).astype(jnp.int32)
+                all_d = jnp.concatenate([soft_d, cand_d], axis=-1)
+                all_id = jnp.concatenate([soft_id, cand_id], axis=-1)
+                _, top_idx = jax.lax.top_k(-all_d, K)
+                soft_d = jnp.take_along_axis(all_d, top_idx, axis=-1)
+                soft_id = jnp.take_along_axis(all_id, top_idx, axis=-1)
+            if need_hard:
+                cand_z = jnp.where(ok & g["inside"], g["z"], jnp.inf)  # (B,Tc,fc,P)
+                zmin = cand_z.min(axis=2)
+                amin = cand_z.argmin(axis=2)
+                zid = jnp.take_along_axis(slc, amin.reshape(B, Tc, -1), axis=2).reshape(
+                    B, Tc, P
+                )
+                better = zmin < hard_z
+                hard_z = jnp.where(better, zmin, hard_z)
+                hard_id = jnp.where(better, zid.astype(jnp.int32), hard_id)
+            return soft_d, soft_id, hard_z, hard_id
+
+        soft_d, soft_id, hard_z, hard_id = jax.lax.fori_loop(
+            0, n_face_steps, step, (soft_d0, soft_id0, hard_z0, hard_id0)
+        )
+        soft_id = jnp.where(jnp.isinf(soft_d), -1, soft_id)
+        return soft_id, hard_id
+
+    soft_ids, hard_ids = jax.lax.map(raster_chunk, tile_chunks)
+    # (tc_count, B, Tc, P, ...) -> (B, T, P, ...)
+    soft_ids = jnp.moveaxis(soft_ids, 1, 0).reshape(B, -1, P, K)[:, :T]
+    hard_ids = jnp.moveaxis(hard_ids, 1, 0).reshape(B, -1, P)[:, :T]
+    out = {}
+    if need_soft:
+        out["soft_ids"] = _untile(soft_ids, cfg)
+    if need_hard:
+        out["hard_ids"] = _untile(hard_ids, cfg)
+    out["bin_overflow"] = (counts > cfg.cap).sum(axis=-1)
+    return out
+
+
+def rasterize_soft(verts_px, faces, cfg: RasterConfig):
+    """-> (B, H, W, K) int32 face ids within blur radius, nearest-first, -1 empty."""
+    faces = jnp.asarray(np.asarray(faces), jnp.int32)
+    out = _rasterize_ids(jax.lax.stop_gradient(verts_px), faces, cfg, True, False)
+    return out["soft_ids"]
+
+
+def rasterize_hard(verts_px, faces, cfg: RasterConfig):
+    """-> (B, H, W) int32 id of nearest covering face, -1 for background."""
+    faces = jnp.asarray(np.asarray(faces), jnp.int32)
+    out = _rasterize_ids(jax.lax.stop_gradient(verts_px), faces, cfg, False, True)
+    return out["hard_ids"]
+
+
+def rasterize(verts_px, faces, cfg: RasterConfig):
+    """Both soft id lists and hard ids in one shared pass."""
+    faces = jnp.asarray(np.asarray(faces), jnp.int32)
+    out = _rasterize_ids(jax.lax.stop_gradient(verts_px), faces, cfg, True, True)
+    return out["soft_ids"], out["hard_ids"]
+
+
+# ---------------------------------------------------------------------------
+# Differentiable recompute from ids
+# ---------------------------------------------------------------------------
+
+
+def _pixel_centers(cfg: RasterConfig, dtype=jnp.float32):
+    r = jnp.arange(cfg.image_size, dtype=dtype) + 0.5
+    px = r[None, :]  # (1, W) broadcast over rows
+    py = r[:, None]  # (H, 1)
+    return jnp.broadcast_to(px, (cfg.image_size, cfg.image_size)), jnp.broadcast_to(
+        py, (cfg.image_size, cfg.image_size)
+    )
+
+
+def soft_alpha_from_ids(ids: jnp.ndarray, verts_px: jnp.ndarray, faces, cfg: RasterConfig):
+    """Differentiable silhouette alpha = 1 - prod_k (1 - sigmoid(-d_k/sigma)).
+
+    ids: (B, H, W, K) from rasterize_soft. Gradient flows into verts_px
+    through the signed distances of the listed faces (SoftSilhouetteShader +
+    softmax blend alpha semantics, pytorch3d blending).
+    """
+    faces = jnp.asarray(np.asarray(faces), jnp.int32)
+    B = verts_px.shape[0]
+    fv9 = verts_px[:, faces].reshape(B, -1, 9)
+    px, py = _pixel_centers(cfg)
+    K = ids.shape[-1]
+
+    def body(k, acc):
+        fid = ids[..., k]  # (B, H, W)
+        safe = jnp.maximum(fid, 0)
+        fvk = jnp.take_along_axis(
+            fv9, safe.reshape(B, -1, 1), axis=1
+        ).reshape(B, cfg.image_size, cfg.image_size, 3, 3)
+        g = face_pixel_geometry(fvk, px[None], py[None], cfg)
+        d = g["signed_d_ndc2"]
+        ok = (fid >= 0) & g["valid"] & (d <= cfg.blur_radius)
+        # log(1 - sigmoid(-d/sigma)) = -softplus(-d/sigma)
+        contrib = -jax.nn.softplus(-d / cfg.sigma)
+        return acc + jnp.where(ok, contrib, 0.0)
+
+    log_one_minus = jax.lax.fori_loop(0, K, body, jnp.zeros(ids.shape[:3], verts_px.dtype))
+    return 1.0 - jnp.exp(log_one_minus)
+
+
+def barycentrics_of(ids: jnp.ndarray, verts_px: jnp.ndarray, faces, cfg: RasterConfig):
+    """Differentiable (bary (B,H,W,3), z (B,H,W), mask (B,H,W)) for hard ids."""
+    faces = jnp.asarray(np.asarray(faces), jnp.int32)
+    B = verts_px.shape[0]
+    fv9 = verts_px[:, faces].reshape(B, -1, 9)
+    safe = jnp.maximum(ids, 0)
+    fvk = jnp.take_along_axis(fv9, safe.reshape(B, -1, 1), axis=1).reshape(
+        B, cfg.image_size, cfg.image_size, 3, 3
+    )
+    px, py = _pixel_centers(cfg)
+    g = face_pixel_geometry(fvk, px[None], py[None], cfg)
+    mask = ids >= 0
+    return g["bary"], g["z"], mask
+
+
+# ---------------------------------------------------------------------------
+# Brute-force reference (tests only; O(F * H * W))
+# ---------------------------------------------------------------------------
+
+
+def rasterize_brute(verts_px, faces, cfg: RasterConfig):
+    """All-pairs reference rasterizer for small images. Returns same outputs
+    as `rasterize` (soft ids sorted by distance, hard ids by depth)."""
+    faces = jnp.asarray(np.asarray(faces), jnp.int32)
+    B = verts_px.shape[0]
+    fv = jax.lax.stop_gradient(verts_px)[:, faces]  # (B, F, 3, 3)
+    px, py = _pixel_centers(cfg)
+    g = face_pixel_geometry(
+        fv[:, :, None, None, :, :], px[None, None], py[None, None], cfg
+    )  # (B, F, H, W)
+    d_px2 = g["signed_d_ndc2"] / (cfg.ndc_scale**2)
+    soft_d = jnp.where(g["valid"] & (d_px2 <= cfg.blur_px2), d_px2, jnp.inf)
+    soft_d = jnp.moveaxis(soft_d, 1, -1)
+    if soft_d.shape[-1] < cfg.faces_per_pixel:
+        soft_d = jnp.pad(
+            soft_d,
+            ((0, 0),) * 3 + ((0, cfg.faces_per_pixel - soft_d.shape[-1]),),
+            constant_values=jnp.inf,
+        )
+    soft_d = jnp.moveaxis(soft_d, -1, 1)
+    _, order = jax.lax.top_k(-jnp.moveaxis(soft_d, 1, -1), cfg.faces_per_pixel)
+    soft_ids = jnp.where(
+        jnp.take_along_axis(jnp.moveaxis(soft_d, 1, -1), order, -1) < jnp.inf,
+        order.astype(jnp.int32),
+        -1,
+    )
+    zc = jnp.where(g["inside"], g["z"], jnp.inf)
+    hard = jnp.argmin(zc, axis=1).astype(jnp.int32)
+    hard_ids = jnp.where(jnp.isinf(zc.min(axis=1)), -1, hard)
+    return soft_ids, hard_ids
