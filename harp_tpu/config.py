@@ -1,0 +1,90 @@
+"""Configuration for harp_tpu.
+
+Replaces the reference's hard-coded config dict + scattered module constants
+(utils/config_utils.py:5-47, optimize_sequence.py:319-331,396,411-422) with
+one frozen dataclass covering every behavior switch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import yaml
+
+from harp_tpu.render.rasterizer import RasterConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class HarpConfig:
+    # Model
+    use_arm: bool = False
+    model_type: str = "harp"  # ["harp", "html", "nimble"] — harp is primary
+    use_vert_disp: bool = True
+    vert_disp_normals: bool = True  # 1-D displacement along vertex normals
+
+    # Camera / images
+    img_size: int = 448
+    focal_length: float = 2000.0
+
+    # Rendering
+    self_shadow: bool = True
+    share_light_position: bool = True
+    texture_size: int = 512
+    background_color: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    # Phong light colors (renderer_helper.py:70-73)
+    ambient_color: Tuple[float, float, float] = (0.5, 0.5, 0.5)
+    diffuse_color: Tuple[float, float, float] = (0.4, 0.4, 0.4)
+    specular_color: Tuple[float, float, float] = (0.1, 0.1, 0.1)
+    shadow_bias: float = 0.008
+    shadow_sharpness: float = 1000.0
+    shadow_light_radius: float = 1.5
+
+    # Optimization (reference driver defaults)
+    total_epoch: int = 301
+    training_stage: Tuple[int, int, int] = (100, 100, 100)
+    batch_size: int = 18
+    known_appearance: bool = False
+    opt_arm_pose: bool = False
+    lr_pose: float = 1.0e-3
+    lr_app: float = 1.0e-2
+    plateau_patience: int = 40
+    plateau_factor: float = 0.1
+
+    # Loss weights (optimize_sequence.py:411-422)
+    w_silhouette: float = 7.0
+    w_kps_anchor: float = 10.0
+    w_vert_disp_reg: float = 2.0
+    w_normal: float = 0.1
+    w_laplacian: float = 4.0
+    w_arap: float = 0.2
+    w_photo: float = 1.0
+    w_vgg: float = 1.0
+    w_albedo: float = 0.5
+    w_normal_reg: float = 0.1
+
+    # Data / paths
+    metro_output_dir: str = ""
+    image_dir: str = ""
+    base_output_dir: str = "exp/out/"
+    start_from: str = ""
+    use_smooth_seq: bool = True
+    average_cam_sequence: bool = False
+    eval_mesh: bool = False
+    gt_mesh_dir: str = ""
+
+    def raster_config(self, **overrides) -> RasterConfig:
+        kw = dict(image_size=self.img_size)
+        kw.update(overrides)
+        return RasterConfig(**kw)
+
+    def to_yaml(self, path: str) -> None:
+        with open(path, "w") as f:
+            yaml.dump(dataclasses.asdict(self), f)
+
+    @classmethod
+    def from_yaml(cls, path: str) -> "HarpConfig":
+        with open(path) as f:
+            d = yaml.safe_load(f)
+        d = {k: tuple(v) if isinstance(v, list) else v for k, v in d.items()}
+        return cls(**d)

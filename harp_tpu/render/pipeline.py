@@ -1,0 +1,150 @@
+"""End-to-end forward model: parameters -> posed mesh -> rendered images.
+
+The functional replacement for the reference's prepare_mesh / render_image
+object soup (utils/visualize.py:16-108,258-285): one pure function per render
+mode, all jit/vmap/grad-compatible, with static assets closed over.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from harp_tpu.assets import AvatarAssets
+from harp_tpu.config import HarpConfig
+from harp_tpu.models.mano import mano_forward
+from harp_tpu.ops.mesh import apply_subdivision, vertex_normals
+from harp_tpu.render import camera as cam_mod
+from harp_tpu.render.rasterizer import (
+    RasterConfig,
+    rasterize_soft,
+    rasterize_hard,
+    soft_alpha_from_ids,
+    barycentrics_of,
+)
+from harp_tpu.render import shading
+
+
+def mesh_forward(params: dict, fids: jnp.ndarray, assets: AvatarAssets,
+                 config: HarpConfig):
+    """Pose the model, subdivide, displace. Mirrors prepare_mesh
+    (visualize.py:16-65).
+
+    Returns:
+      verts: (B, V_render, 3) world-space meters.
+      joints: (B, 21, 3) millimeters (kps losses operate in mm).
+    """
+    B = fids.shape[0]
+    pose = params["pose"][fids]
+    rot = params["rot"][fids]
+    trans = params["trans"][fids]
+    shape = jnp.broadcast_to(params["shape"][None], (B, params["shape"].shape[0]))
+
+    if config.use_arm:
+        from harp_tpu.models.smplx_arm import smplx_arm_forward
+
+        verts_mm, joints_mm = smplx_arm_forward(
+            assets.model, shape, rot, trans, pose, params["wrist_pose"][fids]
+        )
+    else:
+        pose48 = jnp.concatenate([rot, pose], axis=1)
+        verts_mm, joints_mm = mano_forward(assets.model, pose48, shape, trans)
+
+    verts = verts_mm / 1000.0
+    if assets.subdivision is not None:
+        verts = apply_subdivision(assets.subdivision, verts)
+
+    disps = params.get("verts_disps")
+    if disps is not None:
+        if disps.shape[-1] == 1:
+            normals = vertex_normals(verts, assets.render_faces)
+            verts = verts + normals * disps[None]
+        else:
+            verts = verts + disps[None]
+    return verts, joints_mm
+
+
+def camera_for_frames(params: dict, fids: jnp.ndarray, config: HarpConfig):
+    """(R, T) for the standard OpenCV-flip camera from weak-persp params."""
+    cam = params["cam"][fids]
+    T = cam_mod.weak_perspective_to_translation(cam, config.focal_length, config.img_size)
+    R = jnp.broadcast_to(jnp.asarray(cam_mod.OPENCV_TO_P3D_R), (fids.shape[0], 3, 3))
+    return R, T
+
+
+def render_silhouette(verts, assets: AvatarAssets, R, T, config: HarpConfig,
+                      raster_cfg: RasterConfig):
+    """Soft silhouette alpha (B, H, W) — SoftSilhouetteShader semantics."""
+    screen = cam_mod.screen_from_world(verts, R, T, config.focal_length, config.img_size)
+    ids = rasterize_soft(screen, assets.render_faces, raster_cfg)
+    return soft_alpha_from_ids(ids, screen, assets.render_faces, raster_cfg)
+
+
+def _shade_pixels(verts, ids, bary, mask, assets, R, T, config: HarpConfig,
+                  texture, normal_map, light_positions,
+                  ambient_color, diffuse_color, specular_color,
+                  vis_map=None):
+    """Common Phong shading given a hard rasterization."""
+    faces = assets.render_faces
+    normals_v = vertex_normals(verts, faces)
+    points = shading.interpolate_face_vertex_attrs(verts, faces, ids, bary)
+    pixel_normals = shading.interpolate_face_vertex_attrs(normals_v, faces, ids, bary)
+
+    if normal_map is not None:
+        uv = shading.pixel_uvs(ids, bary, assets.verts_uvs, assets.faces_uvs)
+        nm = normal_map / jnp.maximum(
+            jnp.linalg.norm(normal_map, axis=-1, keepdims=True), 1e-12
+        )
+        nm_px = shading.sample_texture_bilinear(nm, uv)
+        pixel_normals = shading.apply_normal_map(pixel_normals, nm_px)
+
+    uv = shading.pixel_uvs(ids, bary, assets.verts_uvs, assets.faces_uvs)
+    texels = shading.sample_texture_bilinear(texture, uv)
+
+    cam_center = cam_mod.camera_center(R, T)
+    amb, diff, spec = shading.phong_lighting(
+        points, pixel_normals, light_positions, cam_center,
+        ambient_color, diffuse_color, specular_color, shininess=0.0,
+    )
+    if vis_map is not None:
+        colors = (amb + diff * vis_map[..., None]) * texels + spec
+    else:
+        colors = (amb + diff) * texels + spec
+    return shading.composite_hard(colors, mask, config.background_color)
+
+
+def render_rgb(verts, assets: AvatarAssets, R, T, config: HarpConfig,
+               raster_cfg: RasterConfig, texture, normal_map, light_positions):
+    """Phong color render without shadows (B, H, W, 3)."""
+    screen = cam_mod.screen_from_world(verts, R, T, config.focal_length, config.img_size)
+    ids = rasterize_hard(screen, assets.render_faces, raster_cfg)
+    bary, _, mask = barycentrics_of(ids, screen, assets.render_faces, raster_cfg)
+    return _shade_pixels(
+        verts, ids, bary, mask, assets, R, T, config, texture, normal_map,
+        light_positions, config.ambient_color, config.diffuse_color,
+        config.specular_color,
+    )
+
+
+def render_normal(verts, assets: AvatarAssets, R, T, config: HarpConfig,
+                  raster_cfg: RasterConfig, normal_map=None):
+    """Normals-as-colors render (B, H, W, 3) — SoftPhongNormalShader semantics:
+    interpolated (optionally normal-mapped) normals, y/z negated, mapped to
+    [0,1], composited over the background."""
+    screen = cam_mod.screen_from_world(verts, R, T, config.focal_length, config.img_size)
+    ids = rasterize_hard(screen, assets.render_faces, raster_cfg)
+    bary, _, mask = barycentrics_of(ids, screen, assets.render_faces, raster_cfg)
+    faces = assets.render_faces
+    normals_v = vertex_normals(verts, faces)
+    pixel_normals = shading.interpolate_face_vertex_attrs(normals_v, faces, ids, bary)
+    if normal_map is not None:
+        uv = shading.pixel_uvs(ids, bary, assets.verts_uvs, assets.faces_uvs)
+        nm = normal_map / jnp.maximum(
+            jnp.linalg.norm(normal_map, axis=-1, keepdims=True), 1e-12
+        )
+        nm_px = shading.sample_texture_bilinear(nm, uv)
+        pixel_normals = shading.apply_normal_map(pixel_normals, nm_px)
+    flipped = pixel_normals * jnp.asarray([1.0, -1.0, -1.0])
+    colors = (flipped + 1.0) / 2.0
+    return shading.composite_hard(colors, mask, config.background_color)

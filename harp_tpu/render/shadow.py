@@ -1,0 +1,114 @@
+"""Two-pass self-shadow rendering with percentage-closer filtering.
+
+Semantics of the reference MeshRendererShadow (renderer_helper.py:331-412) +
+get_shadow_renderers/process_info_for_shadow (:416-468):
+
+1. place the light on a sphere of radius `shadow_light_radius` around the
+   hand center, looking at it (pytorch3d look_at_rotation)
+2. rasterize a depth map from the light
+3. rasterize from the camera; lift hit pixels to world points
+4. reproject the points into light screen space, 3x3 PCF-average of
+   sigmoid((light_depth - (point_depth - bias)) * sharpness)
+5. shade with learned ambient/diffuse split:
+   colors = (amb + diff * relu(n.l) * vis) * texels  (specular = 0)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from harp_tpu.assets import AvatarAssets
+from harp_tpu.config import HarpConfig
+from harp_tpu.ops.mesh import vertex_normals
+from harp_tpu.render import camera as cam_mod
+from harp_tpu.render.rasterizer import (
+    RasterConfig,
+    rasterize_hard,
+    barycentrics_of,
+)
+from harp_tpu.render import shading
+
+
+def shadow_cameras(cam, light_positions, hand_center, config: HarpConfig):
+    """Light/camera extrinsics for the shadow pass
+    (process_info_for_shadow, renderer_helper.py:454-468).
+
+    cam: (B, 3) weak-perspective params; light_positions: (B, 3) world;
+    hand_center: (B, 3) world mean of hand verts.
+    Returns (light_R, light_T, cam_R, cam_T).
+    """
+    cam_T = cam_mod.weak_perspective_to_translation(cam, config.focal_length, config.img_size)
+    B = cam.shape[0]
+    cam_R = jnp.broadcast_to(jnp.asarray(cam_mod.OPENCV_TO_P3D_R), (B, 3, 3))
+
+    # Project the light onto a sphere around the hand.
+    delta = light_positions - hand_center
+    radius = config.shadow_light_radius
+    light_pos = hand_center + delta * (
+        radius / jnp.maximum(jnp.linalg.norm(delta, axis=1, keepdims=True), 1e-9)
+    )
+    light_R = cam_mod.look_at_rotation(light_pos, at=hand_center)
+    light_T = cam_mod.translation_for_position(light_R, light_pos)
+    return light_R, light_T, cam_R, cam_T
+
+
+def render_rgb_with_shadow(
+    verts, assets: AvatarAssets, config: HarpConfig, raster_cfg: RasterConfig,
+    cam, light_positions, amb_ratio_logit, texture, normal_map,
+):
+    """Shadowed Phong color render (B, H, W, 3).
+
+    amb_ratio_logit: scalar parameter; sigmoid gives the ambient fraction
+    (reference optimize_sequence.py:480 nn.Sigmoid()(params['amb_ratio'])).
+    """
+    hand_center = verts.mean(axis=1)
+    light_R, light_T, cam_R, cam_T = shadow_cameras(cam, light_positions, hand_center, config)
+    faces = assets.render_faces
+    H = config.img_size
+
+    # Pass 1: depth from the light.
+    screen_l = cam_mod.screen_from_world(verts, light_R, light_T, config.focal_length, H)
+    ids_l = rasterize_hard(screen_l, faces, raster_cfg)
+    _, z_l, mask_l = barycentrics_of(ids_l, screen_l, faces, raster_cfg)
+    # pytorch3d zbuf convention: -1 where no face.
+    depth_light = jnp.where(mask_l, z_l, -1.0)
+
+    # Pass 2: camera rasterization.
+    screen_c = cam_mod.screen_from_world(verts, cam_R, cam_T, config.focal_length, H)
+    ids_c = rasterize_hard(screen_c, faces, raster_cfg)
+    bary_c, _, mask_c = barycentrics_of(ids_c, screen_c, faces, raster_cfg)
+
+    # World position of camera hits -> light view depth + light screen xy.
+    points = shading.interpolate_face_vertex_attrs(verts, faces, ids_c, bary_c)
+    B = verts.shape[0]
+    pts_flat = points.reshape(B, -1, 3)
+    view_l = cam_mod.world_to_view(pts_flat, light_R, light_T)
+    depth_from_light = view_l[..., 2].reshape(B, H, H)
+    screen_pts = cam_mod.view_to_screen(view_l, config.focal_length, H)
+    x = jnp.round(screen_pts[..., 0]).astype(jnp.int32).reshape(B, H, H)
+    y = jnp.round(screen_pts[..., 1]).astype(jnp.int32).reshape(B, H, H)
+
+    # 3x3 PCF (renderer_helper.py:391-408).
+    a = depth_from_light - config.shadow_bias
+    vis = jnp.zeros((B, H, H), verts.dtype)
+    for di in (-1, 0, 1):
+        for dj in (-1, 0, 1):
+            yy = jnp.clip(y + di, 0, H - 1)
+            xx = jnp.clip(x + dj, 0, H - 1)
+            b = jnp.take_along_axis(
+                depth_light.reshape(B, -1), (yy * H + xx).reshape(B, -1), axis=1
+            ).reshape(B, H, H)
+            vis = vis + jax.nn.sigmoid((b - a) * config.shadow_sharpness)
+    vis = vis / 9.0
+
+    amb = jax.nn.sigmoid(amb_ratio_logit)
+    ambient_color = jnp.stack([amb] * 3)
+    diffuse_color = 1.0 - ambient_color
+    from harp_tpu.render.pipeline import _shade_pixels
+
+    return _shade_pixels(
+        verts, ids_c, bary_c, mask_c, assets, cam_R, cam_T, config, texture,
+        normal_map, light_positions, ambient_color, diffuse_color,
+        jnp.zeros(3, verts.dtype), vis_map=vis,
+    )
