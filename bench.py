@@ -1,0 +1,80 @@
+"""Benchmark: full training-step throughput on the flagship workload.
+
+Runs the complete HARP fitting step (MANO forward -> subdivision ->
+displacement -> soft silhouette raster + shadowed RGB raster (3 hard passes
+total) -> loss stack -> backward -> grouped Adam) at 448^2 on whatever
+accelerator JAX exposes, and prints ONE JSON line:
+
+  {"metric": "train_frames_per_sec_448", "value": N, "unit": "frames/s/chip",
+   "vs_baseline": R}
+
+vs_baseline: the reference publishes no numbers (BASELINE.md). R is measured
+throughput divided by an estimated 8 frames/s for the reference's pytorch3d
+pipeline on a V100-class GPU (50 faces/px soft raster + 2 shadow raster
+passes + backward at 448^2, batch 18 — order-of-magnitude literature
+estimate, to be replaced by a measured value when the reference can run).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_FRAMES_PER_SEC_ESTIMATE = 8.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from harp_tpu.data.synthetic import make_synthetic_sequence
+    from harp_tpu.fit import init_params
+    from harp_tpu.fit.optimizer import build_optimizers
+    from harp_tpu.fit.driver import make_train_step
+    from harp_tpu.render import pipeline
+    from __graft_entry__ import _build
+
+    B = 8  # frames per step
+    assets, config, rcfg, _ = _build(448, 512, n_frames=B)
+    images, masks, masks_er, gt, init = make_synthetic_sequence(
+        assets, config, rcfg, n_frames=B, seed=0
+    )
+    params, aux = init_params(init, assets, config)
+    txs, opt_states, group_masks = build_optimizers(params, config)
+    train_step = make_train_step(assets, config, rcfg, None, txs, group_masks)
+    ref_verts, _ = pipeline.mesh_forward(params, jnp.asarray([0]), assets, config)
+    ref_verts = ref_verts[0]
+    fids = jnp.arange(B)
+    key = jax.random.PRNGKey(0)
+
+    def run(p, s):
+        return train_step(
+            p, s, aux, fids, images, masks, masks_er, ref_verts, key,
+            jnp.asarray(1.0, jnp.float32), coarse_on=True, app_on=True,
+        )
+
+    # Warmup / compile.
+    params2, opt2, total, _ = run(params, opt_states)
+    jax.block_until_ready(total)
+
+    iters = 10
+    t0 = time.perf_counter()
+    p, s = params2, opt2
+    for _ in range(iters):
+        p, s, total, _ = run(p, s)
+    jax.block_until_ready(total)
+    dt = time.perf_counter() - t0
+
+    frames_per_sec = B * iters / dt
+    out = {
+        "metric": "train_frames_per_sec_448",
+        "value": round(frames_per_sec, 3),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(frames_per_sec / REFERENCE_FRAMES_PER_SEC_ESTIMATE, 3),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -465,3 +465,151 @@ def build_synthetic_assets(n_ring: int = 8, seed: int = 0, uv_size: int = 128,
         faces_uvs=faces_uvs,
         uv_mask=mask,
     )
+
+
+# ---------------------------------------------------------------------------
+# Synthetic SMPL-X arm (hand + forearm on the 55-joint skeleton)
+# ---------------------------------------------------------------------------
+
+
+def build_synthetic_arm(n_ring: int = 8, seed: int = 0):
+    """A synthetic SmplxArmModel: the procedural hand + a forearm tube placed
+    on the real 55-joint SMPL-X skeleton layout (only the right-arm chain is
+    geometrically meaningful; other joints are inert). Used to exercise the
+    SMPLXARM code path without the registration-gated SMPLX_NEUTRAL.npz.
+    """
+    from harp_tpu.models.smplx_arm import (
+        SmplxArmModel, SMPLX_PARENTS, NUM_JOINTS, EXTRA_JOINT_NAMES,
+    )
+
+    rng = np.random.RandomState(seed + 17)
+    hand = build_synthetic_hand(n_ring=n_ring, seed=seed)
+    n_hand = hand.num_verts
+
+    # Forearm: tube from just behind the wrist toward -x (elbow at -0.26).
+    chain = np.stack(
+        [np.array([-0.26, 0.0, 0.0]), np.array([-0.17, 0.0, 0.0]),
+         np.array([-0.08, 0.0, 0.0]), np.array([0.01, 0.0, 0.0])], 0
+    )
+    radii = np.array([0.030, 0.032, 0.034, 0.036])
+    fa_verts, fa_faces, _ = _tube(chain, radii, n_ring + 2)
+    n_fore = fa_verts.shape[0]
+
+    # Dummy "rest of body" verts (excluded from the arm submesh).
+    dummy = np.array([[0.0, -0.8, 0.0], [0.1, -0.8, 0.0], [0.0, -0.9, 0.1]], np.float32)
+    v_template = np.concatenate([hand.v_template, fa_verts, dummy], 0)
+    V = v_template.shape[0]
+    K = NUM_JOINTS
+
+    # Skinning: hand weights map onto SMPL-X columns (wrist 0 -> 21,
+    # finger joint j in 1..15 -> 39 + j, same finger ordering).
+    weights = np.zeros((V, K), np.float32)
+    weights[:n_hand, 21] = hand.weights[:, 0]
+    for j in range(1, 16):
+        weights[:n_hand, 39 + j] = hand.weights[:, j]
+    # Forearm: blend elbow(19) <-> wrist(21) along x.
+    t = np.clip((fa_verts[:, 0] + 0.26) / 0.27, 0, 1)
+    weights[n_hand : n_hand + n_fore, 19] = 1 - t
+    weights[n_hand : n_hand + n_fore, 21] = t
+    weights[n_hand + n_fore :, 0] = 1.0
+    weights /= weights.sum(1, keepdims=True)
+
+    # Joint regressor.
+    J_reg = np.zeros((K, V), np.float32)
+    J_reg[21, :n_hand] = hand.J_regressor[0]
+    for j in range(1, 16):
+        J_reg[39 + j, :n_hand] = hand.J_regressor[j]
+    # Elbow: mean of the first forearm ring.
+    J_reg[19, n_hand : n_hand + n_ring + 2] = 1.0 / (n_ring + 2)
+    # Pelvis / shoulder chain anchored at the dummies (inert but defined).
+    for j in (0, 3, 6, 9, 14, 17):
+        J_reg[j, n_hand + n_fore] = 1.0
+
+    S = 10
+    shapedirs = np.zeros((V, 3, S), np.float32)
+    shapedirs[:, :, 0] = v_template - v_template.mean(0)
+    for s in range(1, S):
+        freq = rng.uniform(10.0, 40.0, size=3)
+        axis = rng.randn(3)
+        axis /= np.linalg.norm(axis)
+        shapedirs[:, :, s] = 0.003 * np.sin(v_template @ freq)[:, None] * axis
+    expr_dirs = np.zeros((V, 3, 10), np.float32)
+    posedirs = (0.0001 * rng.randn(V, 3, 9 * (K - 1))).astype(np.float32)
+
+    # Extra joints: right-hand tips from the hand builder; the rest point at
+    # a dummy vertex (never selected by joint_idx).
+    tip_map = {"rthumb": 0, "rindex": 1, "rmiddle": 2, "rring": 3, "rpinky": 4}
+    extra_ids = np.zeros(len(EXTRA_JOINT_NAMES), np.int64) + (V - 1)
+    for name, k in tip_map.items():
+        extra_ids[EXTRA_JOINT_NAMES.index(name)] = hand.tips_idx[k]
+
+    arm_vert_idx = np.arange(n_hand + n_fore)
+    mano_vert_from_arm = np.arange(n_hand)
+    arm_faces = np.concatenate([hand.faces, fa_faces + n_hand], 0).astype(np.int32)
+    # Output joints in MANO viz order + tips + elbow (matches the real
+    # smplx_arm_corr.pkl 'mano_joint' layout).
+    joint_idx = np.array(
+        [21, 52, 53, 54, 71, 40, 41, 42, 72, 43, 44, 45, 73,
+         49, 50, 51, 74, 46, 47, 48, 75, 19]
+    )
+
+    return SmplxArmModel(
+        v_template=v_template,
+        shapedirs=shapedirs,
+        expr_dirs=expr_dirs,
+        posedirs=posedirs,
+        J_regressor=J_reg,
+        weights=weights,
+        parents=SMPLX_PARENTS.copy(),
+        pose_mean=np.zeros(165, np.float32),
+        extra_joint_vertex_ids=extra_ids,
+        arm_vert_idx=arm_vert_idx,
+        mano_vert_from_arm=mano_vert_from_arm,
+        arm_faces=arm_faces,
+        mano_faces=hand.faces.copy(),
+        joint_idx=joint_idx,
+    )
+
+
+def build_synthetic_arm_assets(n_ring: int = 8, seed: int = 0, uv_size: int = 128,
+                               subdivide: bool = True) -> AvatarAssets:
+    """Synthetic arm model wrapped as renderable AvatarAssets (use_arm path)."""
+    model = build_synthetic_arm(n_ring=n_ring, seed=seed)
+    n_arm = model.arm_vert_idx.shape[0]
+    coarse = build_topology(model.arm_faces, n_arm)
+    arm_template = model.v_template[model.arm_vert_idx]
+    if subdivide:
+        sub = build_subdivision(coarse)
+        render_faces = sub.faces
+        num_render_verts = sub.num_verts
+        verts_sub = np.concatenate(
+            [arm_template,
+             0.5 * (arm_template[sub.edge_src[:, 0]] + arm_template[sub.edge_src[:, 1]])],
+            0,
+        )
+    else:
+        sub = None
+        render_faces = model.arm_faces
+        num_render_verts = n_arm
+        verts_sub = arm_template
+    sub_topology = build_topology(render_faces, num_render_verts)
+    comps = _connected_components(num_render_verts, render_faces)
+    verts_uvs = _planar_uv_atlas(verts_sub, render_faces, comps)
+    faces_uvs = render_faces.copy()
+
+    mask = np.zeros((uv_size, uv_size), np.float32)
+    tri = verts_uvs[faces_uvs]
+    lo = np.clip((tri.min(1) * uv_size).astype(int), 0, uv_size - 1)
+    hi = np.clip(np.ceil(tri.max(1) * uv_size).astype(int), 1, uv_size)
+    for (x0, y0), (x1, y1) in zip(lo, hi):
+        mask[uv_size - y1 : uv_size - y0, x0:x1] = 1.0
+
+    return AvatarAssets(
+        model=model,
+        coarse_topology=coarse,
+        subdivision=sub,
+        sub_topology=sub_topology,
+        verts_uvs=verts_uvs,
+        faces_uvs=faces_uvs,
+        uv_mask=mask,
+    )

@@ -1,0 +1,215 @@
+"""Per-sequence avatar fitting: the TPU-native replacement for the reference
+driver (optimize_hand_sequence, optimize_sequence.py:313-596).
+
+Architecture differences from the reference (deliberate, TPU-first):
+- one jitted `train_step` per training stage (stage flags are static, so XLA
+  dead-code-eliminates the unused render/losses — the reference renders RGB
+  even in the silhouette-only stage);
+- the whole image sequence lives on device as stacked arrays: no DataLoader
+  processes, minibatches are gather ops over a shuffled permutation;
+- optimizer state is an optax pytree; the plateau schedule is a scalar
+  carried by the (cheap) Python epoch loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from harp_tpu.assets import AvatarAssets
+from harp_tpu.config import HarpConfig
+from harp_tpu.losses import (
+    silhouette_loss,
+    photometric_loss,
+    kps_anchor_loss,
+    vert_disp_reg,
+    arap_loss,
+    albedo_reg,
+    normal_reg,
+    Vgg16Features,
+    vgg_feature_l1,
+)
+from harp_tpu.ops.mesh import laplacian_smoothing_loss, normal_consistency_loss
+from harp_tpu.render import pipeline
+from harp_tpu.render.rasterizer import RasterConfig
+from harp_tpu.render.shadow import render_rgb_with_shadow
+
+
+@dataclasses.dataclass
+class FitData:
+    """Device-resident sequence data."""
+
+    images: jnp.ndarray  # (N, H, W, 3) in [0,1]
+    masks: jnp.ndarray  # (N, H, W) in [0,1]
+    masks_eroded: jnp.ndarray  # (N, H, W)
+
+    @property
+    def num_frames(self) -> int:
+        return self.images.shape[0]
+
+
+def compute_losses(params, aux, fids, batch_imgs, batch_masks, batch_masks_er,
+                   assets: AvatarAssets, config: HarpConfig, rcfg: RasterConfig,
+                   vgg: Vgg16Features | None, ref_verts, key,
+                   coarse_on: bool, app_on: bool):
+    """All fitting losses for one minibatch. Returns (total, breakdown)."""
+    losses = {}
+    verts, joints = pipeline.mesh_forward(params, fids, assets, config)
+    R, T = pipeline.camera_for_frames(params, fids, config)
+
+    if coarse_on:
+        alpha = pipeline.render_silhouette(verts, assets, R, T, config, rcfg)
+        losses["silhouette"] = silhouette_loss(alpha, batch_masks)
+        if not config.known_appearance and config.model_type != "nimble":
+            losses["kps_anchor"] = kps_anchor_loss(
+                aux["init_joints"][fids], joints, use_arm=config.use_arm
+            )
+        if config.use_vert_disp and not config.known_appearance:
+            losses["vert_disp_reg"] = vert_disp_reg(params["verts_disps"])
+            losses["laplacian"] = laplacian_smoothing_loss(verts, assets.sub_topology)
+            losses["normal"] = normal_consistency_loss(verts, assets.sub_topology)
+            losses["arap"] = arap_loss(verts, ref_verts, assets.sub_topology)
+
+    if app_on:
+        if config.share_light_position:
+            light = jnp.broadcast_to(params["light_positions"][0], (fids.shape[0], 3))
+        else:
+            light = params["light_positions"][fids]
+        if config.self_shadow:
+            rgb = render_rgb_with_shadow(
+                verts, assets, config, rcfg, params["cam"][fids], light,
+                params["amb_ratio"], params["texture"], params["normal_map"],
+            )
+        else:
+            rgb = pipeline.render_rgb(
+                verts, assets, R, T, config, rcfg, params["texture"],
+                params["normal_map"], light,
+            )
+        losses["photo"] = photometric_loss(rgb, batch_imgs, batch_masks_er)
+        if vgg is not None:
+            m = batch_masks_er[..., None]
+            losses["vgg"] = vgg_feature_l1(vgg, rgb * m, batch_imgs * m)
+        if config.model_type not in ("nimble", "html"):
+            k1, k2 = jax.random.split(key)
+            losses["albedo"] = albedo_reg(
+                params["texture"], k1, std=1.0, uv_mask=aux["uv_mask"]
+            )
+            losses["normal_reg"] = normal_reg(
+                params["normal_map"], k2, uv_mask=aux["uv_mask"]
+            )
+
+    weights = {
+        "silhouette": config.w_silhouette,
+        "kps_anchor": config.w_kps_anchor,
+        "vert_disp_reg": config.w_vert_disp_reg,
+        "normal": config.w_normal,
+        "laplacian": config.w_laplacian,
+        "arap": config.w_arap,
+        "photo": config.w_photo,
+        "vgg": config.w_vgg,
+        "albedo": config.w_albedo,
+        "normal_reg": config.w_normal_reg,
+    }
+    total = jnp.asarray(0.0, jnp.float32)
+    for k, v in losses.items():
+        total = total + weights[k] * v
+    return total, losses
+
+
+def make_train_step(assets: AvatarAssets, config: HarpConfig, rcfg: RasterConfig,
+                    vgg: Vgg16Features | None, txs, masks):
+    """Build the jitted train step for given (static) stage flags."""
+
+    @partial(jax.jit, static_argnames=("coarse_on", "app_on"), donate_argnums=(0, 1))
+    def train_step(params, opt_states, aux, fids, batch_imgs, batch_masks,
+                   batch_masks_er, ref_verts, key, lr_scale, *,
+                   coarse_on: bool, app_on: bool):
+        (total, breakdown), grads = jax.value_and_grad(
+            lambda p: compute_losses(
+                p, aux, fids, batch_imgs, batch_masks, batch_masks_er, assets,
+                config, rcfg, vgg, ref_verts, key, coarse_on, app_on,
+            ),
+            has_aux=True,
+        )(params)
+
+        new_states = dict(opt_states)
+        if coarse_on:
+            updates, new_states["coarse"] = txs["coarse"].update(
+                grads, opt_states["coarse"], params
+            )
+            updates = jax.tree.map(lambda u: u * lr_scale, updates)
+            params = optax.apply_updates(params, updates)
+        if app_on:
+            updates, new_states["app"] = txs["app"].update(
+                grads, opt_states["app"], params
+            )
+            params = optax.apply_updates(params, updates)
+        return params, new_states, total, breakdown
+
+    return train_step
+
+
+def stage_flags(epoch: int, config: HarpConfig):
+    s0, s1, _ = config.training_stage
+    if epoch < s0:
+        return True, False
+    if epoch < s0 + s1:
+        return True, True
+    return False, True
+
+
+def fit_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
+                 params: dict, aux: dict, rcfg: RasterConfig | None = None,
+                 vgg: Vgg16Features | None = None, seed: int = 0,
+                 log_every: int = 10, callback=None):
+    """Run the staged optimization. Returns (params, history)."""
+    from harp_tpu.fit.optimizer import build_optimizers, PlateauState, plateau_update
+
+    rcfg = rcfg or config.raster_config()
+    if vgg is None and config.w_vgg > 0:
+        vgg = Vgg16Features.create()
+    txs, opt_states, masks = build_optimizers(params, config)
+    train_step = make_train_step(assets, config, rcfg, vgg, txs, masks)
+
+    # ARAP reference mesh: frame 0 at the initial parameters (reference :431).
+    ref_verts, _ = pipeline.mesh_forward(params, jnp.asarray([0]), assets, config)
+    ref_verts = jax.lax.stop_gradient(ref_verts[0])
+
+    n = data.num_frames
+    bs = min(config.batch_size, n)
+    steps = max(n // bs, 1)
+    rng = np.random.RandomState(seed)
+    key = jax.random.PRNGKey(seed)
+    plateau = PlateauState()
+    history = []
+
+    for epoch in range(config.total_epoch):
+        coarse_on, app_on = stage_flags(epoch, config)
+        perm = rng.permutation(n)
+        epoch_loss = 0.0
+        for s in range(steps):
+            fids = jnp.asarray(perm[s * bs : (s + 1) * bs])
+            key, sub = jax.random.split(key)
+            params, opt_states, total, breakdown = train_step(
+                params, opt_states, aux, fids,
+                data.images[fids], data.masks[fids], data.masks_eroded[fids],
+                ref_verts, sub, jnp.asarray(plateau.scale, jnp.float32),
+                coarse_on=coarse_on, app_on=app_on,
+            )
+            epoch_loss += float(total)
+        epoch_loss /= steps
+        if coarse_on:
+            plateau = plateau_update(
+                plateau, epoch_loss, config.plateau_patience, config.plateau_factor
+            )
+        history.append({"epoch": epoch, "loss": epoch_loss,
+                        **{k: float(v) for k, v in breakdown.items()}})
+        if callback is not None:
+            callback(epoch, params, history[-1])
+    return params, history

@@ -1,0 +1,84 @@
+"""Grouped Adam + plateau LR scheduling (reference get_optimizers,
+optimize_sequence.py:253-310).
+
+Two parameter groups:
+- "coarse" (lr 1e-3): pose, cam, [shape, verts_disps], and for the arm model
+  with opt_arm_pose also wrist_pose + rot. NOTE the reference does NOT
+  optimize trans, and rot only in the arm/opt_arm_pose path — replicated.
+- "app" (lr 1e-2): light_positions, amb_ratio, and (unless appearance is
+  known) texture + normal_map.
+
+The coarse group's LR follows torch ReduceLROnPlateau(patience=40,
+factor=0.1, rel threshold 1e-4) on the epoch loss, implemented as a scale
+factor carried by the Python driver loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from harp_tpu.config import HarpConfig
+
+
+def group_param_names(config: HarpConfig):
+    coarse = ["pose", "cam"]
+    if config.known_appearance:
+        if config.use_arm and config.opt_arm_pose:
+            coarse += ["wrist_pose", "rot"]
+    else:
+        if config.use_arm and config.opt_arm_pose:
+            coarse += ["wrist_pose", "rot"]
+        coarse += ["shape"]
+        if config.use_vert_disp:
+            coarse += ["verts_disps"]
+
+    app = ["light_positions", "amb_ratio"]
+    if not config.known_appearance:
+        app += ["texture", "normal_map"]
+    return {"coarse": coarse, "app": app}
+
+
+def _mask_for(params: dict, names) -> dict:
+    return {k: (k in names) for k in params}
+
+
+def build_optimizers(params: dict, config: HarpConfig):
+    """Returns ({group: optax tx}, {group: state}, {group: mask})."""
+    groups = group_param_names(config)
+    lrs = {"coarse": config.lr_pose, "app": config.lr_app}
+    txs, states, masks = {}, {}, {}
+    for g, names in groups.items():
+        mask = _mask_for(params, names)
+        inv_mask = {k: not v for k, v in mask.items()}
+        # optax.masked leaves masked-OUT updates untouched (raw gradients!),
+        # so explicitly zero them with a second masked set_to_zero.
+        tx = optax.chain(
+            optax.masked(optax.adam(lrs[g]), mask),
+            optax.masked(optax.set_to_zero(), inv_mask),
+        )
+        txs[g] = tx
+        states[g] = tx.init(params)
+        masks[g] = mask
+    return txs, states, masks
+
+
+@dataclasses.dataclass
+class PlateauState:
+    best: float = float("inf")
+    bad_epochs: int = 0
+    scale: float = 1.0
+
+
+def plateau_update(state: PlateauState, epoch_loss: float, patience: int = 40,
+                   factor: float = 0.1, threshold: float = 1e-4) -> PlateauState:
+    """torch ReduceLROnPlateau(mode=min, threshold_mode=rel) semantics."""
+    if epoch_loss < state.best * (1.0 - threshold):
+        return PlateauState(best=epoch_loss, bad_epochs=0, scale=state.scale)
+    bad = state.bad_epochs + 1
+    if bad > patience:
+        return PlateauState(best=state.best, bad_epochs=0, scale=state.scale * factor)
+    return PlateauState(best=state.best, bad_epochs=bad, scale=state.scale)

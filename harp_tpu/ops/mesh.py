@@ -21,6 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from harp_tpu.ops.numerics import safe_norm, safe_normalize
+
 
 @dataclasses.dataclass(frozen=True)
 class MeshTopology:
@@ -176,8 +178,7 @@ def vertex_normals(verts: jnp.ndarray, faces, num_verts: int | None = None) -> j
     flat_n = fn.reshape((-1,) + fn.shape[-2:])
     acc = jax.vmap(accumulate)(flat_v, flat_n)
     acc = acc.reshape(batch + (num_verts, 3))
-    norm = jnp.linalg.norm(acc, axis=-1, keepdims=True)
-    return acc / jnp.maximum(norm, 1e-12)
+    return safe_normalize(acc)
 
 
 def laplacian_smoothing_loss(verts: jnp.ndarray, topology: MeshTopology) -> jnp.ndarray:
@@ -192,7 +193,7 @@ def laplacian_smoothing_loss(verts: jnp.ndarray, topology: MeshTopology) -> jnp.
     deg = jnp.maximum(mask.sum(-1, keepdims=True), 1.0)
     mean_nbr = (gathered * mask[..., None]).sum(-2) / deg
     lap = mean_nbr - verts
-    return jnp.linalg.norm(lap, axis=-1).mean()
+    return safe_norm(lap, axis=-1).mean()
 
 
 def normal_consistency_loss(verts: jnp.ndarray, topology: MeshTopology) -> jnp.ndarray:
@@ -205,9 +206,7 @@ def normal_consistency_loss(verts: jnp.ndarray, topology: MeshTopology) -> jnp.n
     fn = face_normals(verts, topology.faces)
     n0 = jnp.take(fn, pairs[:, 0], axis=-2)
     n1 = jnp.take(fn, pairs[:, 1], axis=-2)
-    cos = (n0 * n1).sum(-1) / (
-        jnp.linalg.norm(n0, axis=-1) * jnp.linalg.norm(n1, axis=-1) + 1e-12
-    )
+    cos = (n0 * n1).sum(-1) / (safe_norm(n0, axis=-1) * safe_norm(n1, axis=-1))
     return (1.0 - cos).mean()
 
 
@@ -215,4 +214,4 @@ def edge_lengths(verts: jnp.ndarray, topology: MeshTopology) -> jnp.ndarray:
     """(..., E) edge lengths."""
     e = jnp.asarray(topology.edges)
     d = jnp.take(verts, e[:, 0], axis=-2) - jnp.take(verts, e[:, 1], axis=-2)
-    return jnp.linalg.norm(d, axis=-1)
+    return safe_norm(d, axis=-1)

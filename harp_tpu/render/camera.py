@@ -22,6 +22,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
+from harp_tpu.ops.numerics import safe_norm, safe_normalize
+
 # OpenCV-convention to render-convention axis flip (reference visualize.py:271).
 OPENCV_TO_P3D_R = np.diag([-1.0, -1.0, 1.0]).astype(np.float32)
 
@@ -67,13 +69,13 @@ def look_at_rotation(camera_position: jnp.ndarray, at: jnp.ndarray,
     """
     up = jnp.broadcast_to(jnp.asarray(up, camera_position.dtype), camera_position.shape)
     z = at - camera_position
-    z = z / jnp.maximum(jnp.linalg.norm(z, axis=-1, keepdims=True), 1e-5)
+    z = z / jnp.maximum(safe_norm(z, axis=-1, keepdims=True), 1e-5)
     x = jnp.cross(up, z)
-    xn = jnp.linalg.norm(x, axis=-1, keepdims=True)
+    xn = safe_norm(x, axis=-1, keepdims=True)
     # Degenerate (up parallel to z): fall back to +X like pytorch3d.
     x = jnp.where(xn < 1e-5, jnp.asarray([1.0, 0.0, 0.0], z.dtype), x / jnp.maximum(xn, 1e-12))
     y = jnp.cross(z, x)
-    y = y / jnp.maximum(jnp.linalg.norm(y, axis=-1, keepdims=True), 1e-12)
+    y = safe_normalize(y)
     return jnp.stack([x, y, z], axis=-1)  # columns are axes
 
 

@@ -93,9 +93,7 @@ def _shade_pixels(verts, ids, bary, mask, assets, R, T, config: HarpConfig,
 
     if normal_map is not None:
         uv = shading.pixel_uvs(ids, bary, assets.verts_uvs, assets.faces_uvs)
-        nm = normal_map / jnp.maximum(
-            jnp.linalg.norm(normal_map, axis=-1, keepdims=True), 1e-12
-        )
+        nm = shading.safe_normalize(normal_map)
         nm_px = shading.sample_texture_bilinear(nm, uv)
         pixel_normals = shading.apply_normal_map(pixel_normals, nm_px)
 
@@ -140,9 +138,7 @@ def render_normal(verts, assets: AvatarAssets, R, T, config: HarpConfig,
     pixel_normals = shading.interpolate_face_vertex_attrs(normals_v, faces, ids, bary)
     if normal_map is not None:
         uv = shading.pixel_uvs(ids, bary, assets.verts_uvs, assets.faces_uvs)
-        nm = normal_map / jnp.maximum(
-            jnp.linalg.norm(normal_map, axis=-1, keepdims=True), 1e-12
-        )
+        nm = shading.safe_normalize(normal_map)
         nm_px = shading.sample_texture_bilinear(nm, uv)
         pixel_normals = shading.apply_normal_map(pixel_normals, nm_px)
     flipped = pixel_normals * jnp.asarray([1.0, -1.0, -1.0])

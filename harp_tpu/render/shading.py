@@ -23,6 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from harp_tpu.ops.numerics import safe_normalize
+
 
 def sample_texture_bilinear(tex: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
     """Sample (H, W, C) texture at (..., 2) uv in [0,1]^2.
@@ -104,7 +106,7 @@ def apply_normal_map(pixel_normals: jnp.ndarray, sampled_nm: jnp.ndarray) -> jnp
     u, v = pixar_tangent_frame(pixel_normals)
     nx, ny, nz = sampled_nm[..., 0:1], sampled_nm[..., 1:2], sampled_nm[..., 2:3]
     out = -u * nx - v * ny + pixel_normals * nz
-    return out / jnp.maximum(jnp.linalg.norm(out, axis=-1, keepdims=True), 1e-12)
+    return safe_normalize(out)
 
 
 def phong_lighting(
@@ -122,15 +124,15 @@ def phong_lighting(
     points/normals: (B, H, W, 3) world space; light/camera position: (B, 3).
     Returns (ambient, diffuse, specular), each (B, H, W, 3).
     """
-    nrm = normals / jnp.maximum(jnp.linalg.norm(normals, axis=-1, keepdims=True), 1e-12)
+    nrm = safe_normalize(normals)
     ldir = light_position[:, None, None, :] - points
-    ldir = ldir / jnp.maximum(jnp.linalg.norm(ldir, axis=-1, keepdims=True), 1e-12)
+    ldir = safe_normalize(ldir)
     cos = (nrm * ldir).sum(-1, keepdims=True)
     amb = jnp.broadcast_to(jnp.asarray(ambient_color), points.shape[:1] + (1, 1, 3))
     diff = jnp.asarray(diffuse_color) * jax.nn.relu(cos)
 
     vdir = camera_position[:, None, None, :] - points
-    vdir = vdir / jnp.maximum(jnp.linalg.norm(vdir, axis=-1, keepdims=True), 1e-12)
+    vdir = safe_normalize(vdir)
     reflect = -ldir + 2.0 * cos * nrm
     alpha = jax.nn.relu((vdir * reflect).sum(-1, keepdims=True)) * (cos > 0)
     # alpha^0 := 1 (torch.pow semantics the reference relies on with

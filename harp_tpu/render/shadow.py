@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from harp_tpu.assets import AvatarAssets
 from harp_tpu.config import HarpConfig
 from harp_tpu.ops.mesh import vertex_normals
+from harp_tpu.ops.numerics import safe_norm
 from harp_tpu.render import camera as cam_mod
 from harp_tpu.render.rasterizer import (
     RasterConfig,
@@ -46,7 +47,7 @@ def shadow_cameras(cam, light_positions, hand_center, config: HarpConfig):
     delta = light_positions - hand_center
     radius = config.shadow_light_radius
     light_pos = hand_center + delta * (
-        radius / jnp.maximum(jnp.linalg.norm(delta, axis=1, keepdims=True), 1e-9)
+        radius / jnp.maximum(safe_norm(delta, axis=1, keepdims=True), 1e-9)
     )
     light_R = cam_mod.look_at_rotation(light_pos, at=hand_center)
     light_T = cam_mod.translation_for_position(light_R, light_pos)

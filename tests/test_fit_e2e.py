@@ -1,0 +1,66 @@
+"""End-to-end integration: fit a synthetic 2-frame scene; losses must drop
+and silhouette IoU must improve (SURVEY.md §4 strategy)."""
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+from harp_tpu.assets import build_synthetic_assets
+from harp_tpu.config import HarpConfig
+from harp_tpu.data.synthetic import make_synthetic_sequence
+from harp_tpu.fit import init_params, FitData, fit_sequence
+from harp_tpu.render import pipeline
+from harp_tpu.render.rasterizer import RasterConfig
+
+ASSETS = build_synthetic_assets(uv_size=64)
+RCFG = RasterConfig(image_size=64, tile=8, cap=256, bin_chunk=16, tile_chunk=8,
+                    face_chunk=64, faces_per_pixel=8)
+
+
+def _iou(params, data, config):
+    fids = jnp.arange(data.num_frames)
+    verts, _ = pipeline.mesh_forward(params, fids, ASSETS, config)
+    R, T = pipeline.camera_for_frames(params, fids, config)
+    alpha = np.asarray(pipeline.render_silhouette(verts, ASSETS, R, T, config, RCFG))
+    pred = alpha > 0.5
+    true = np.asarray(data.masks) > 0.5
+    return (pred & true).sum() / max((pred | true).sum(), 1)
+
+
+def test_fit_improves_silhouette_and_loss():
+    config = HarpConfig(
+        img_size=64, focal_length=285.0, texture_size=64, self_shadow=False,
+        total_epoch=8, training_stage=(4, 2, 2), batch_size=2, w_vgg=0.0,
+    )
+    images, masks, masks_er, gt, init = make_synthetic_sequence(
+        ASSETS, config, RCFG, n_frames=2, seed=3, perturb=0.25
+    )
+    data = FitData(images=images, masks=masks, masks_eroded=masks_er)
+    params, aux = init_params(init, ASSETS, config)
+
+    iou_before = _iou(params, data, config)
+    params, history = fit_sequence(config, ASSETS, data, params, aux, rcfg=RCFG)
+    iou_after = _iou(params, data, config)
+
+    first_stage = [h["loss"] for h in history[:4]]
+    assert first_stage[-1] < first_stage[0], f"coarse loss should drop: {first_stage}"
+    assert iou_after > iou_before, (iou_before, iou_after)
+    # Appearance stage ran and produced finite params.
+    assert np.all(np.isfinite(np.asarray(params["texture"])))
+    assert np.all(np.isfinite(np.asarray(params["pose"])))
+
+
+def test_fit_with_shadow_and_vgg_smoke():
+    config = HarpConfig(
+        img_size=64, focal_length=285.0, texture_size=64, self_shadow=True,
+        total_epoch=2, training_stage=(1, 1, 0), batch_size=2, w_vgg=1.0,
+    )
+    images, masks, masks_er, gt, init = make_synthetic_sequence(
+        ASSETS, config, RCFG, n_frames=2, seed=1, perturb=0.1
+    )
+    data = FitData(images=images, masks=masks, masks_eroded=masks_er)
+    params, aux = init_params(init, ASSETS, config)
+    params, history = fit_sequence(config, ASSETS, data, params, aux, rcfg=RCFG)
+    assert len(history) == 2
+    assert np.isfinite(history[-1]["loss"])

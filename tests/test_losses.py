@@ -1,0 +1,82 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from harp_tpu.losses import (
+    l1_loss,
+    kps_anchor_loss,
+    vert_disp_reg,
+    arap_loss,
+    albedo_reg,
+    normal_reg,
+    Vgg16Features,
+    vgg_feature_l1,
+)
+from harp_tpu.ops.mesh import build_topology
+
+
+def test_kps_anchor_root_invariance():
+    rng = np.random.RandomState(0)
+    gt = rng.randn(2, 21, 3).astype(np.float32) * 50
+    pred = gt + 10.0  # global offset -> root-aligned loss is zero
+    loss = kps_anchor_loss(jnp.asarray(gt), jnp.asarray(pred))
+    np.testing.assert_allclose(loss, 0.0, atol=1e-8)
+    pred2 = gt.copy()
+    pred2[:, 5] += 100.0  # +100mm on each coord of one joint: ||.|| = 100*sqrt(3)
+    loss2 = kps_anchor_loss(jnp.asarray(gt), jnp.asarray(pred2))
+    np.testing.assert_allclose(loss2, 3.0 / 21, rtol=1e-4)
+
+
+def test_vert_disp_reg_shapes():
+    d1 = jnp.full((10, 1), 0.5)
+    np.testing.assert_allclose(vert_disp_reg(d1), 10 * 0.25, rtol=1e-6)
+    d3 = jnp.zeros((10, 3)).at[:, 0].set(0.5)
+    np.testing.assert_allclose(vert_disp_reg(d3), 10 * 0.25, rtol=1e-5)
+
+
+def test_arap_zero_for_identical():
+    verts = np.random.RandomState(0).randn(1, 4, 3).astype(np.float32)
+    faces = np.array([[0, 1, 2], [1, 3, 2]])
+    topo = build_topology(faces, 4)
+    loss = arap_loss(jnp.asarray(verts), jnp.asarray(verts[0]), topo)
+    np.testing.assert_allclose(loss, 0.0, atol=1e-6)
+    # Uniform scaling by 2: each edge length doubles.
+    loss2 = arap_loss(jnp.asarray(verts * 2), jnp.asarray(verts[0]), topo)
+    lengths = []
+    for e in topo.edges:
+        lengths.append(np.linalg.norm(verts[0, e[0]] - verts[0, e[1]]) * 1000)
+    expected = np.mean([(l * 2 - l) ** 2 for l in lengths])
+    np.testing.assert_allclose(loss2, expected, rtol=1e-3)
+
+
+def test_albedo_reg_flat_texture_zero():
+    tex = jnp.ones((32, 32, 3)) * 0.5
+    key = jax.random.PRNGKey(0)
+    np.testing.assert_allclose(albedo_reg(tex, key), 0.0, atol=1e-7)
+    # Noisy texture has positive smoothness penalty.
+    noisy = tex + 0.3 * jax.random.normal(jax.random.PRNGKey(1), tex.shape)
+    assert float(albedo_reg(noisy, key)) > 0.01
+
+
+def test_normal_reg_flat_map():
+    nm = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (16, 16, 3))
+    key = jax.random.PRNGKey(0)
+    np.testing.assert_allclose(normal_reg(nm, key), 0.0, atol=1e-7)
+
+
+def test_vgg_features_shapes_and_loss():
+    vgg = Vgg16Features.create(seed=0)
+    x = jnp.ones((1, 32, 32, 3)) * 0.5
+    feats = vgg.slices(x)
+    assert len(feats) == 5
+    assert feats[1].shape == (1, 32, 32, 64)
+    assert feats[2].shape == (1, 16, 16, 128)
+    assert feats[3].shape == (1, 8, 8, 256)
+    assert feats[4].shape == (1, 4, 4, 512)
+    same = vgg_feature_l1(vgg, x, x)
+    np.testing.assert_allclose(same, 0.0, atol=1e-7)
+    other = vgg_feature_l1(vgg, x, x * 0.3)
+    assert float(other) > 0
+    # Differentiable.
+    g = jax.grad(lambda im: vgg_feature_l1(vgg, im, x))(x * 0.3)
+    assert np.all(np.isfinite(np.asarray(g)))
