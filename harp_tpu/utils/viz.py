@@ -1,0 +1,183 @@
+"""Visualization outputs (reference utils/visualize.py + the driver's
+logging composites, without matplotlib — PIL only).
+
+Provides: 3x3 image-pair grids, red/blue silhouette overlays, per-frame
+GT|pred|normal|overlay composites, 360-degree turntable renders, light
+sweeps, and GIF assembly.
+"""
+
+from __future__ import annotations
+
+import os
+import glob
+
+import numpy as np
+import jax.numpy as jnp
+from PIL import Image
+
+from harp_tpu.render import pipeline
+from harp_tpu.render.camera import OPENCV_TO_P3D_R
+from harp_tpu.ops.rotations import axis_angle_to_matrix
+
+
+def _to_uint8(img: np.ndarray) -> np.ndarray:
+    return (np.clip(np.asarray(img), 0, 1) * 255).astype(np.uint8)
+
+
+def save_image(img, path: str) -> None:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    arr = _to_uint8(img)
+    if arr.ndim == 2:
+        arr = np.stack([arr] * 3, -1)
+    Image.fromarray(arr).save(path)
+
+
+def sil_overlay(true_mask, pred_mask) -> np.ndarray:
+    """GT in red channel, prediction in blue (reference show_img_pair)."""
+    h, w = np.asarray(true_mask).shape[:2]
+    out = np.zeros((h, w, 3), np.float32)
+    out[:, :, 0] = np.asarray(true_mask)
+    out[:, :, 2] = np.asarray(pred_mask)
+    return out
+
+
+def image_grid(images, rows: int = 3, cols: int = 3) -> np.ndarray:
+    """Tile up to rows*cols images into one grid (pads with black)."""
+    images = [np.asarray(im) for im in images[: rows * cols]]
+    h, w = images[0].shape[:2]
+    c = images[0].shape[2] if images[0].ndim == 3 else 1
+    grid = np.zeros((rows * h, cols * w, 3), np.float32)
+    for i, im in enumerate(images):
+        if im.ndim == 2:
+            im = np.stack([im] * 3, -1)
+        r, cc = divmod(i, cols)
+        grid[r * h : (r + 1) * h, cc * w : (cc + 1) * w] = im[..., :3]
+    return grid
+
+
+def save_pair_grid(pred, true, path: str, silhouette: bool = False) -> None:
+    if silhouette:
+        imgs = [sil_overlay(t, p) for p, t in zip(pred, true)]
+    else:
+        imgs = list(np.asarray(pred))
+    save_image(image_grid(imgs), path)
+
+
+def frame_composite(img_true, img_pred, img_normal, mask_true, mask_pred) -> np.ndarray:
+    """GT | prediction | normal render | silhouette overlay, side by side
+    (reference optimize_sequence.py:742-757)."""
+    overlay = sil_overlay(mask_true, mask_pred)
+    return np.concatenate(
+        [np.asarray(img_true), np.asarray(img_pred), np.asarray(img_normal), overlay],
+        axis=1,
+    )
+
+
+def save_gif(in_dir: str, out_path: str, duration_ms: int = 100) -> None:
+    frames = [
+        Image.open(p).convert("RGB")
+        for p in sorted(glob.glob(os.path.join(in_dir, "*.jpg")))
+    ]
+    if not frames:
+        return
+    frames[0].save(
+        out_path, save_all=True, append_images=frames[1:],
+        duration=duration_ms, loop=0,
+    )
+
+
+def _rotate_about_center(verts, axis: str, degrees: float):
+    center = verts.mean(axis=1, keepdims=True)
+    idx = {"X": 0, "Y": 1, "Z": 2}[axis]
+    aa = np.zeros(3, np.float32)
+    aa[idx] = np.deg2rad(degrees)
+    R = axis_angle_to_matrix(jnp.asarray(aa)[None])[0]
+    return (verts - center) @ R.T + center
+
+
+def render_360(params, fid, assets, config, rcfg, out_dir: str,
+               render_normal: bool = False, use_shadow: bool = False) -> str:
+    """Turntable render: 36 x 10-degree Y-rotations then X-rotations
+    (reference visualize.py:145-196), saved as jpgs + gif."""
+    sub = "render_360_normal" if render_normal else "render_360"
+    out = os.path.join(out_dir, sub)
+    os.makedirs(out, exist_ok=True)
+    fids = jnp.asarray([fid])
+    verts, _ = pipeline.mesh_forward(params, fids, assets, config)
+    R, T = pipeline.camera_for_frames(params, fids, config)
+    light = params["light_positions"][fids]
+    idx = 0
+    for axis in ("Y", "X"):
+        for _ in range(36):
+            verts = _rotate_about_center(verts, axis, 10.0)
+            if render_normal:
+                img = pipeline.render_normal(verts, assets, R, T, config, rcfg)
+            else:
+                img = pipeline.render_rgb(
+                    verts, assets, R, T, config, rcfg, params["texture"],
+                    params["normal_map"], light,
+                )
+            prefix = "" if axis == "Y" else "h_"
+            save_image(np.asarray(img)[0], os.path.join(out, f"{prefix}{idx % 36:04d}.jpg"))
+            idx += 1
+    save_gif(out, os.path.join(out, "out.gif"))
+    return out
+
+
+def render_360_light(params, fid, assets, config, rcfg, out_dir: str,
+                     num: int = 40, z_range=(-5.0, 5.0)) -> str:
+    """Light-position sweep (reference visualize.py:199-228)."""
+    out = os.path.join(out_dir, "render_360_light")
+    os.makedirs(out, exist_ok=True)
+    fids = jnp.asarray([fid])
+    verts, _ = pipeline.mesh_forward(params, fids, assets, config)
+    R, T = pipeline.camera_for_frames(params, fids, config)
+    for i in range(num):
+        z = z_range[0] + (z_range[1] - z_range[0]) / num * i
+        light = jnp.asarray([[1.0, 1.0, z]], jnp.float32)
+        img = pipeline.render_rgb(
+            verts, assets, R, T, config, rcfg, params["texture"],
+            params["normal_map"], light,
+        )
+        save_image(np.asarray(img)[0], os.path.join(out, f"{i:04d}.jpg"))
+    save_gif(out, os.path.join(out, "out.gif"))
+    return out
+
+
+def concat_image_dirs(dir1: str, dir2: str, out_dir: str) -> None:
+    """Side-by-side concat of two render directories (visualize.py:322-345)."""
+    os.makedirs(out_dir, exist_ok=True)
+    l1 = sorted(
+        p for p in glob.glob(os.path.join(dir1, "*"))
+        if p.endswith((".jpg", ".png"))
+    )
+    l2 = sorted(
+        p for p in glob.glob(os.path.join(dir2, "*"))
+        if p.endswith((".jpg", ".png"))
+    )
+    for i, (a, b) in enumerate(zip(l1, l2)):
+        ia = np.asarray(Image.open(a).convert("RGB"))
+        ib = np.asarray(Image.open(b).convert("RGB"))
+        Image.fromarray(np.concatenate([ia, ib], 1)).save(
+            os.path.join(out_dir, "%04d.jpg" % i)
+        )
+    save_gif(out_dir, os.path.join(out_dir, "out.gif"))
+
+
+def save_texture_maps(params, uv_mask, out_dir: str) -> None:
+    """Export the optimized albedo + normal map as PNGs
+    (optimize_sequence.py:627-654)."""
+    out = os.path.join(out_dir, "uv_out")
+    os.makedirs(out, exist_ok=True)
+    mask = np.asarray(uv_mask) if uv_mask is not None else None
+    tex = np.clip(np.asarray(params["texture"]), 0, 1)
+    if mask is not None:
+        tex = tex * mask[..., None]
+    save_image(tex, os.path.join(out, "texture.png"))
+    if "normal_map" in params:
+        nm = np.asarray(params["normal_map"])
+        nm = nm / np.maximum(np.linalg.norm(nm, axis=-1, keepdims=True), 1e-9)
+        nm = nm / 2.0 + 0.5
+        if mask is not None:
+            nm = nm * mask[..., None]
+        save_image(np.clip(nm, 0, 1), os.path.join(out, "normal_map.png"))

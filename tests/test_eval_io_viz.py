@@ -1,0 +1,114 @@
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from harp_tpu.eval import (
+    sil_iou, l1_diff, ssim, ms_ssim, image_eval, align_w_scale, EvalUtil,
+)
+from harp_tpu.utils.io import (
+    save_result, load_result, save_checkpoint, load_checkpoint, export_obj,
+)
+from harp_tpu.utils import viz
+
+
+def test_sil_iou():
+    a = np.zeros((1, 8, 8))
+    b = np.zeros((1, 8, 8))
+    a[0, :4] = 1
+    b[0, 2:6] = 1
+    # intersection rows 2-3 (16 px), union rows 0-5 (48 px)
+    np.testing.assert_allclose(sil_iou(a, b), 16 / 48, rtol=1e-6)
+
+
+def test_ssim_identity_and_sensitivity():
+    rng = np.random.RandomState(0)
+    x = rng.rand(2, 32, 32, 3).astype(np.float32)
+    assert ssim(x, x) > 0.9999
+    y = np.clip(x + 0.2 * rng.rand(2, 32, 32, 3), 0, 1).astype(np.float32)
+    assert ssim(x, y) < 0.99
+
+
+def test_ms_ssim_identity():
+    rng = np.random.RandomState(1)
+    x = rng.rand(1, 180, 180, 3).astype(np.float32)
+    assert ms_ssim(x, x) > 0.9999
+    assert ms_ssim(x, np.clip(x + 0.3, 0, 1)) < 0.95
+
+
+def test_image_eval_keys():
+    rng = np.random.RandomState(2)
+    imgs = rng.rand(2, 180, 180, 3).astype(np.float32)
+    masks = (rng.rand(2, 180, 180) > 0.5).astype(np.float32)
+    stats = image_eval({
+        "ref_image": imgs, "pred_image": imgs,
+        "ref_mask": masks, "pred_mask": masks,
+    })
+    assert set(stats) == {"Silhouette IoU", "L1", "LPIPS", "MS_SSIM"}
+    np.testing.assert_allclose(stats["Silhouette IoU"], 1.0)
+    np.testing.assert_allclose(stats["L1"], 0.0, atol=1e-8)
+    np.testing.assert_allclose(stats["LPIPS"], 0.0, atol=1e-6)
+
+
+def test_align_w_scale_recovers_similarity():
+    rng = np.random.RandomState(3)
+    x = rng.randn(50, 3)
+    from harp_tpu.ops.rotations import axis_angle_to_matrix
+    R = np.asarray(axis_angle_to_matrix(jnp.asarray([[0.4, -0.2, 0.9]])))[0]
+    y = 1.7 * (x @ R.T) + np.array([3.0, -1.0, 2.0])
+    aligned = align_w_scale(x, y)
+    np.testing.assert_allclose(aligned, x, atol=1e-5)
+
+
+def test_evalutil_pck():
+    ev = EvalUtil(num_kp=3)
+    gt = np.zeros((3, 3))
+    pred = gt.copy()
+    pred[1] += [3.0, 0, 0]  # 3mm error on joint 1
+    ev.feed(gt, np.ones(3), pred)
+    epe_mean, epe_med, auc, pck, th = ev.get_measures(0, 10, 11)
+    np.testing.assert_allclose(epe_mean, 1.0)
+    assert 0.9 <= auc <= 1.0
+
+
+def test_result_roundtrip(tmp_path):
+    params = {"pose": jnp.ones((2, 45)), "amb_ratio": jnp.asarray(0.4)}
+    save_result(params, str(tmp_path))
+    loaded = load_result(str(tmp_path))
+    np.testing.assert_allclose(np.asarray(loaded["pose"]), 1.0)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    path = str(tmp_path / "ckpt.pkl")
+    params = {"pose": jnp.ones((2, 45))}
+    opt = {"coarse": (jnp.zeros(3),)}
+    save_checkpoint(path, params, opt, epoch=7, plateau_scale=0.1)
+    ck = load_checkpoint(path)
+    assert ck["epoch"] == 7
+    assert ck["plateau_scale"] == 0.1
+    np.testing.assert_allclose(np.asarray(ck["params"]["pose"]), 1.0)
+
+
+def test_export_obj(tmp_path):
+    path = str(tmp_path / "mesh.obj")
+    verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    faces = np.array([[0, 1, 2]])
+    uvs = np.array([[0, 0], [1, 0], [0, 1]], np.float32)
+    export_obj(path, verts, faces, uvs, faces)
+    content = open(path).read()
+    assert content.count("v ") == 3 and content.count("vt") == 3
+    assert "f 1/1 2/2 3/3" in content
+
+
+def test_viz_outputs(tmp_path):
+    img = np.random.RandomState(0).rand(16, 16, 3)
+    viz.save_image(img, str(tmp_path / "a.jpg"))
+    assert os.path.exists(tmp_path / "a.jpg")
+    grid = viz.image_grid([img] * 5)
+    assert grid.shape == (48, 48, 3)
+    comp = viz.frame_composite(img, img, img, img[..., 0], img[..., 0])
+    assert comp.shape == (16, 64, 3)
+    for i in range(3):
+        viz.save_image(img, str(tmp_path / "seq" / f"{i:04d}.jpg"))
+    viz.save_gif(str(tmp_path / "seq"), str(tmp_path / "seq" / "out.gif"))
+    assert os.path.exists(tmp_path / "seq" / "out.gif")
