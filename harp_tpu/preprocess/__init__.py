@@ -1,0 +1,6 @@
+from harp_tpu.preprocess.fit import (
+    fit_mano_to_vertices,
+    remove_spike,
+    smooth_pose_sequence,
+    smooth_camera_sequence,
+)
