@@ -1,0 +1,184 @@
+#!/usr/bin/env python
+"""CLI entry point: fit a personalized hand avatar to a video sequence.
+
+The TPU-native counterpart of `python optimize_sequence.py` (reference main(),
+optimize_sequence.py:819-838), with an argparse front-end instead of a
+hard-coded config dict. With --synthetic it runs fully hermetically on the
+procedural hand (no registration-gated assets or data needed).
+
+Examples:
+  python fit_avatar.py --synthetic --img-size 224 --epochs 30
+  python fit_avatar.py --metro-output-dir data/1 --image-dir data/1 \
+      --train-list 1 2 --mano-pkl mano/models/MANO_RIGHT.pkl
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import time
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--synthetic", action="store_true",
+                   help="fit a synthetic GT sequence (hermetic demo/e2e run)")
+    p.add_argument("--use-arm", action="store_true")
+    p.add_argument("--img-size", type=int, default=448)
+    p.add_argument("--texture-size", type=int, default=512)
+    p.add_argument("--epochs", type=int, default=301)
+    p.add_argument("--stages", type=int, nargs=3, default=[100, 100, 100])
+    p.add_argument("--batch-size", type=int, default=18)
+    p.add_argument("--no-shadow", action="store_true")
+    p.add_argument("--no-vgg", action="store_true")
+    p.add_argument("--known-appearance", action="store_true")
+    p.add_argument("--start-from", default="")
+    p.add_argument("--out", default="exp/out/")
+    p.add_argument("--n-frames", type=int, default=8, help="synthetic frames")
+    p.add_argument("--seed", type=int, default=0)
+    # Real-data paths (reference directory layout).
+    p.add_argument("--metro-output-dir", default="")
+    p.add_argument("--image-dir", default="")
+    p.add_argument("--train-list", nargs="*", default=["1"])
+    p.add_argument("--use-smooth-seq", action="store_true", default=True)
+    p.add_argument("--mano-pkl", default="", help="MANO_RIGHT.pkl path")
+    p.add_argument("--smplx-npz", default="", help="SMPLX_NEUTRAL.npz path")
+    p.add_argument("--arm-corr", default="template/arm/smplx_arm_corr.pkl")
+    p.add_argument("--turntables", action="store_true")
+    p.add_argument("--debug-nans", action="store_true")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
+
+    import jax.numpy as jnp
+    import numpy as np
+    from harp_tpu.config import HarpConfig
+    from harp_tpu.fit import init_params, FitData, fit_sequence
+    from harp_tpu.fit.evaluate import evaluate_sequence
+    from harp_tpu.fit.resume import prepare_resume_params
+    from harp_tpu.utils.io import save_result
+    from harp_tpu.utils.profiling import Timer
+
+    config = HarpConfig(
+        use_arm=args.use_arm,
+        img_size=args.img_size,
+        focal_length=2000.0 * args.img_size / 448.0,
+        texture_size=args.texture_size,
+        total_epoch=args.epochs,
+        training_stage=tuple(args.stages),
+        batch_size=args.batch_size,
+        self_shadow=not args.no_shadow,
+        w_vgg=0.0 if args.no_vgg else 1.0,
+        known_appearance=args.known_appearance,
+        start_from=args.start_from,
+        base_output_dir=args.out,
+        metro_output_dir=args.metro_output_dir,
+        image_dir=args.image_dir,
+    )
+    os.makedirs(config.base_output_dir, exist_ok=True)
+    config.to_yaml(os.path.join(config.base_output_dir, "config.yaml"))
+    rcfg = config.raster_config()
+
+    # --- assets ---
+    if args.synthetic:
+        from harp_tpu.assets import build_synthetic_assets, build_synthetic_arm_assets
+
+        assets = (build_synthetic_arm_assets(uv_size=args.texture_size)
+                  if args.use_arm else
+                  build_synthetic_assets(uv_size=args.texture_size))
+    elif args.use_arm:
+        from harp_tpu.assets import AvatarAssets, load_obj_with_uv
+        from harp_tpu.models.smplx_arm import load_smplx_arm
+        from harp_tpu.ops.mesh import build_topology, build_subdivision
+
+        model = load_smplx_arm(args.smplx_npz, args.arm_corr)
+        n_arm = model.arm_vert_idx.shape[0]
+        coarse = build_topology(model.arm_faces, n_arm)
+        sub = build_subdivision(coarse)
+        sub_topology = build_topology(sub.faces, sub.num_verts)
+        _, _, verts_uvs, faces_uvs = load_obj_with_uv("template/arm/arm_template.obj")
+        from PIL import Image
+
+        uv_mask = np.asarray(
+            Image.open("template/arm/uv_mask.png").convert("L")
+        ).astype(np.float32) / 255.0
+        assets = AvatarAssets(
+            model=model, coarse_topology=coarse, subdivision=sub,
+            sub_topology=sub_topology, verts_uvs=verts_uvs,
+            faces_uvs=faces_uvs, uv_mask=uv_mask,
+        )
+    else:
+        from harp_tpu.assets import (
+            AvatarAssets, load_mano_model, load_obj_with_uv,
+        )
+        from harp_tpu.ops.mesh import build_topology, build_subdivision
+
+        model = load_mano_model(args.mano_pkl, flat_hand_mean=False)
+        coarse = build_topology(model.faces, model.num_verts)
+        sub = build_subdivision(coarse)
+        sub_topology = build_topology(sub.faces, sub.num_verts)
+        _, _, verts_uvs, faces_uvs = load_obj_with_uv("template/hand/textured_hand.obj")
+        from PIL import Image
+
+        uv_mask = np.asarray(
+            Image.open("template/hand/uv_mask.png").convert("L")
+        ).astype(np.float32) / 255.0
+        assets = AvatarAssets(
+            model=model, coarse_topology=coarse, subdivision=sub,
+            sub_topology=sub_topology, verts_uvs=verts_uvs,
+            faces_uvs=faces_uvs, uv_mask=uv_mask,
+        )
+
+    # --- data ---
+    if args.synthetic:
+        from harp_tpu.data.synthetic import make_synthetic_sequence
+
+        images, masks, masks_er, gt, input_params = make_synthetic_sequence(
+            assets, config, rcfg, n_frames=args.n_frames, seed=args.seed
+        )
+    else:
+        from harp_tpu.data.dataset import load_sequences
+
+        input_params, images, masks, masks_er = load_sequences(
+            config.metro_output_dir, config.image_dir, args.train_list,
+            use_smooth_seq=args.use_smooth_seq,
+        )
+        images, masks, masks_er = map(jnp.asarray, (images, masks, masks_er))
+    data = FitData(images=images, masks=masks, masks_eroded=masks_er)
+
+    # --- params ---
+    params, aux = init_params(input_params, assets, config)
+    if config.start_from:
+        params = prepare_resume_params(config.start_from, input_params, config)
+
+    # --- fit ---
+    with Timer() as t_fit:
+        params, history = fit_sequence(config, assets, data, params, aux, rcfg=rcfg)
+    save_result(params, config.base_output_dir, test=config.known_appearance)
+
+    # --- evaluate ---
+    with Timer() as t_eval:
+        stats = evaluate_sequence(
+            config, assets, data, params, aux, rcfg=rcfg,
+            turntables=args.turntables,
+        )
+    stats["fit_wall_s"] = round(t_fit.elapsed, 2)
+    stats["eval_wall_s"] = round(t_eval.elapsed, 2)
+    stats["final_loss"] = history[-1]["loss"] if history else None
+    print(json.dumps(stats, indent=2))
+    with open(os.path.join(config.base_output_dir, "fit_summary.json"), "w") as f:
+        json.dump(stats, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

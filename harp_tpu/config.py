@@ -45,6 +45,7 @@ class HarpConfig:
     training_stage: Tuple[int, int, int] = (100, 100, 100)
     batch_size: int = 18
     known_appearance: bool = False
+    pose_already_opt: bool = False
     opt_arm_pose: bool = False
     lr_pose: float = 1.0e-3
     lr_app: float = 1.0e-2

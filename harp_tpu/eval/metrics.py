@@ -73,9 +73,19 @@ def ssim(x, y, data_range: float = 1.0) -> float:
 MS_SSIM_WEIGHTS = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)
 
 
-def ms_ssim(x, y, data_range: float = 1.0, weights=MS_SSIM_WEIGHTS) -> float:
+def ms_ssim(x, y, data_range: float = 1.0, weights=MS_SSIM_WEIGHTS,
+            win_size: int = 11) -> float:
     x = jnp.asarray(x, jnp.float32)
     y = jnp.asarray(y, jnp.float32)
+    # Use only scales where the downsampled image still fits the window
+    # (pytorch_msssim instead asserts a minimum size); renormalize weights.
+    min_side = min(x.shape[1], x.shape[2])
+    n_scales = 1
+    while n_scales < len(weights) and (min_side >> n_scales) >= win_size:
+        n_scales += 1
+    if n_scales < len(weights):
+        w = np.asarray(weights[:n_scales])
+        weights = tuple(w / w.sum())
     vals = []
     for i, w in enumerate(weights):
         s, cs = _ssim_parts(x, y, data_range)
