@@ -62,15 +62,22 @@ def make_synthetic_sequence(assets: AvatarAssets, config: HarpConfig,
     }
 
     fids = jnp.arange(n_frames)
-    verts, joints = pipeline.mesh_forward(gt, fids, assets, config)
-    R, T = pipeline.camera_for_frames(gt, fids, config)
-    alpha = pipeline.render_silhouette(verts, assets, R, T, config, rcfg)
-    images = pipeline.render_rgb(
-        verts, assets, R, T, config, rcfg, gt["texture"], gt["normal_map"],
-        gt["light_positions"],
-    )
-    masks = (alpha > 0.5).astype(jnp.float32)
-    masks_eroded = erode_mask(masks)
+
+    # One jitted program for the whole GT render: eager op-by-op dispatch is
+    # extremely slow on remote-compile backends.
+    @jax.jit
+    def _render_gt(gt):
+        verts, joints = pipeline.mesh_forward(gt, fids, assets, config)
+        R, T = pipeline.camera_for_frames(gt, fids, config)
+        alpha = pipeline.render_silhouette(verts, assets, R, T, config, rcfg)
+        images = pipeline.render_rgb(
+            verts, assets, R, T, config, rcfg, gt["texture"], gt["normal_map"],
+            gt["light_positions"],
+        )
+        masks = (alpha > 0.5).astype(jnp.float32)
+        return joints, images, masks, erode_mask(masks)
+
+    joints, images, masks, masks_eroded = _render_gt(gt)
 
     # Perturbed init, standing in for noisy METRO estimates.
     init = {

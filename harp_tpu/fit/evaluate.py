@@ -79,11 +79,12 @@ def evaluate_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
     stats_acc = {"Silhouette IoU": [], "L1": [], "LPIPS": [], "MS_SSIM": []}
     vert_errs = []
 
+    render_jit = jax.jit(
+        lambda p, f: _render_frame_batch(p, f, assets, config, rcfg)
+    )
     for start in range(0, n, render_batch):
         fids = jnp.arange(start, min(start + render_batch, n))
-        verts, alpha, rgb, normal_img = _render_frame_batch(
-            params, fids, assets, config, rcfg
-        )
+        verts, alpha, rgb, normal_img = render_jit(params, fids)
         alpha_np = np.asarray(alpha)
         rgb_np = np.asarray(rgb)
         normal_np = np.asarray(normal_img)

@@ -99,24 +99,39 @@ def render_360(params, fid, assets, config, rcfg, out_dir: str,
                render_normal: bool = False, use_shadow: bool = False) -> str:
     """Turntable render: 36 x 10-degree Y-rotations then X-rotations
     (reference visualize.py:145-196), saved as jpgs + gif."""
+    import jax
+
     sub = "render_360_normal" if render_normal else "render_360"
     out = os.path.join(out_dir, sub)
     os.makedirs(out, exist_ok=True)
     fids = jnp.asarray([fid])
-    verts, _ = pipeline.mesh_forward(params, fids, assets, config)
+    verts, _ = jax.jit(
+        lambda p: pipeline.mesh_forward(p, fids, assets, config)
+    )(params)
     R, T = pipeline.camera_for_frames(params, fids, config)
     light = params["light_positions"][fids]
+
+    @jax.jit
+    def step(verts, axis_idx):
+        v = jax.lax.cond(
+            axis_idx == 0,
+            lambda v: _rotate_about_center(v, "Y", 10.0),
+            lambda v: _rotate_about_center(v, "X", 10.0),
+            verts,
+        )
+        if render_normal:
+            img = pipeline.render_normal(v, assets, R, T, config, rcfg)
+        else:
+            img = pipeline.render_rgb(
+                v, assets, R, T, config, rcfg, params["texture"],
+                params["normal_map"], light,
+            )
+        return v, img
+
     idx = 0
-    for axis in ("Y", "X"):
+    for ai, axis in enumerate(("Y", "X")):
         for _ in range(36):
-            verts = _rotate_about_center(verts, axis, 10.0)
-            if render_normal:
-                img = pipeline.render_normal(verts, assets, R, T, config, rcfg)
-            else:
-                img = pipeline.render_rgb(
-                    verts, assets, R, T, config, rcfg, params["texture"],
-                    params["normal_map"], light,
-                )
+            verts, img = step(verts, jnp.asarray(ai))
             prefix = "" if axis == "Y" else "h_"
             save_image(np.asarray(img)[0], os.path.join(out, f"{prefix}{idx % 36:04d}.jpg"))
             idx += 1
@@ -127,18 +142,26 @@ def render_360(params, fid, assets, config, rcfg, out_dir: str,
 def render_360_light(params, fid, assets, config, rcfg, out_dir: str,
                      num: int = 40, z_range=(-5.0, 5.0)) -> str:
     """Light-position sweep (reference visualize.py:199-228)."""
+    import jax
+
     out = os.path.join(out_dir, "render_360_light")
     os.makedirs(out, exist_ok=True)
     fids = jnp.asarray([fid])
-    verts, _ = pipeline.mesh_forward(params, fids, assets, config)
+    verts, _ = jax.jit(
+        lambda p: pipeline.mesh_forward(p, fids, assets, config)
+    )(params)
     R, T = pipeline.camera_for_frames(params, fids, config)
-    for i in range(num):
-        z = z_range[0] + (z_range[1] - z_range[0]) / num * i
-        light = jnp.asarray([[1.0, 1.0, z]], jnp.float32)
-        img = pipeline.render_rgb(
+
+    @jax.jit
+    def render_with_light(light):
+        return pipeline.render_rgb(
             verts, assets, R, T, config, rcfg, params["texture"],
             params["normal_map"], light,
         )
+
+    for i in range(num):
+        z = z_range[0] + (z_range[1] - z_range[0]) / num * i
+        img = render_with_light(jnp.asarray([[1.0, 1.0, z]], jnp.float32))
         save_image(np.asarray(img)[0], os.path.join(out, f"{i:04d}.jpg"))
     save_gif(out, os.path.join(out, "out.gif"))
     return out
