@@ -85,20 +85,31 @@ def _shade_pixels(verts, ids, bary, mask, assets, R, T, config: HarpConfig,
                   texture, normal_map, light_positions,
                   ambient_color, diffuse_color, specular_color,
                   vis_map=None):
-    """Common Phong shading given a hard rasterization."""
+    """Common Phong shading given a hard rasterization.
+
+    Gather-packing: per-face vertex attributes (position, normal, wedge uv)
+    are concatenated so the per-pixel interpolation needs a SINGLE gather,
+    and albedo + normal map are sampled as one packed texture — TPU gathers
+    are the shading bottleneck (measured ~210 ms/step unpacked at 448^2x8).
+    """
     faces = assets.render_faces
     normals_v = vertex_normals(verts, faces)
-    points = shading.interpolate_face_vertex_attrs(verts, faces, ids, bary)
-    pixel_normals = shading.interpolate_face_vertex_attrs(normals_v, faces, ids, bary)
+    attrs = shading.interpolate_packed_attrs(
+        verts, normals_v, faces, assets.verts_uvs, assets.faces_uvs, ids, bary
+    )
+    points = attrs[..., 0:3]
+    pixel_normals = attrs[..., 3:6]
+    uv = attrs[..., 6:8]
 
     if normal_map is not None:
-        uv = shading.pixel_uvs(ids, bary, assets.verts_uvs, assets.faces_uvs)
-        nm = shading.safe_normalize(normal_map)
-        nm_px = shading.sample_texture_bilinear(nm, uv)
-        pixel_normals = shading.apply_normal_map(pixel_normals, nm_px)
-
-    uv = shading.pixel_uvs(ids, bary, assets.verts_uvs, assets.faces_uvs)
-    texels = shading.sample_texture_bilinear(texture, uv)
+        packed_tex = jnp.concatenate(
+            [texture, shading.safe_normalize(normal_map)], axis=-1
+        )
+        sampled = shading.sample_texture_bilinear(packed_tex, uv)
+        texels = sampled[..., 0:3]
+        pixel_normals = shading.apply_normal_map(pixel_normals, sampled[..., 3:6])
+    else:
+        texels = shading.sample_texture_bilinear(texture, uv)
 
     cam_center = cam_mod.camera_center(R, T)
     amb, diff, spec = shading.phong_lighting(

@@ -71,6 +71,28 @@ def interpolate_face_vertex_attrs(
     return (g * bary[..., None]).sum(-2)
 
 
+def interpolate_packed_attrs(verts, normals_v, faces, verts_uvs, faces_uvs,
+                             ids, bary) -> jnp.ndarray:
+    """One-gather interpolation of (position | normal | uv) -> (B, H, W, 8).
+
+    Packs per-face-vertex attributes (B, F, 3, 8) = [pos3, nrm3, uv2] and
+    gathers once per pixel, instead of three separate gathers.
+    """
+    faces = jnp.asarray(np.asarray(faces), jnp.int32)
+    faces_uvs = jnp.asarray(np.asarray(faces_uvs), jnp.int32)
+    verts_uvs = jnp.asarray(verts_uvs)
+    B = verts.shape[0]
+    fuv = jnp.broadcast_to(verts_uvs[faces_uvs][None], (B,) + verts_uvs[faces_uvs].shape)
+    packed = jnp.concatenate(
+        [verts[:, faces], normals_v[:, faces], fuv], axis=-1
+    )  # (B, F, 3, 8)
+    safe = jnp.maximum(ids, 0)
+    g = jnp.take_along_axis(
+        packed.reshape(B, -1, 24), safe.reshape(B, -1, 1), axis=1
+    ).reshape(ids.shape + (3, 8))
+    return (g * bary[..., None]).sum(-2)
+
+
 def pixel_uvs(ids: jnp.ndarray, bary: jnp.ndarray, verts_uvs, faces_uvs) -> jnp.ndarray:
     """Wedge-UV interpolation: (B, H, W, 2) uv coordinates at pixels."""
     verts_uvs = jnp.asarray(verts_uvs)

@@ -1,0 +1,44 @@
+"""Pallas rasterizer kernel vs the XLA reference, in interpreter mode (CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from harp_tpu.render.rasterizer import RasterConfig, rasterize
+from harp_tpu.render.pallas.raster_kernel import pallas_rasterize
+
+CFG = RasterConfig(image_size=32, tile=8, cap=64, bin_chunk=8, tile_chunk=4,
+                   face_chunk=16, faces_per_pixel=4)
+
+
+def _random_scene(seed=0, n=30, B=2):
+    rng = np.random.RandomState(seed)
+    verts = np.zeros((B, n * 3, 3), np.float32)
+    for b in range(B):
+        centers = rng.uniform(2, 30, size=(n, 2))
+        offsets = rng.uniform(-4, 4, size=(n, 3, 2))
+        verts[b, :, :2] = (centers[:, None] + offsets).reshape(-1, 2)
+        verts[b, :, 2] = rng.uniform(0.5, 3.0, size=(n, 1)).repeat(3, 1).reshape(-1)
+    faces = np.arange(n * 3).reshape(n, 3)
+    return jnp.asarray(verts), faces
+
+
+def test_pallas_matches_xla_random_scene():
+    verts, faces = _random_scene()
+    soft_x, hard_x = rasterize(verts, faces, CFG)
+    soft_p, hard_p = pallas_rasterize(verts, faces, CFG, interpret=True)
+    np.testing.assert_array_equal(np.asarray(hard_p), np.asarray(hard_x))
+    sp = np.sort(np.asarray(soft_p), -1)
+    sx = np.sort(np.asarray(soft_x), -1)
+    np.testing.assert_array_equal(sp, sx)
+
+
+def test_pallas_single_triangle():
+    v = np.array([[[4.0, 4.0, 1.0], [28.0, 6.0, 1.0], [8.0, 28.0, 1.0]]], np.float32)
+    faces = np.array([[0, 1, 2]])
+    soft_p, hard_p = pallas_rasterize(jnp.asarray(v), faces, CFG, interpret=True)
+    soft_x, hard_x = rasterize(jnp.asarray(v), faces, CFG)
+    np.testing.assert_array_equal(np.asarray(hard_p), np.asarray(hard_x))
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(soft_p), -1), np.sort(np.asarray(soft_x), -1)
+    )
