@@ -63,8 +63,17 @@ def compute_losses(params, aux, fids, batch_imgs, batch_masks, batch_masks_er,
     verts, joints = pipeline.mesh_forward(params, fids, assets, config)
     R, T = pipeline.camera_for_frames(params, fids, config)
 
+    # One camera-view rasterization feeds both the silhouette (soft ids)
+    # and the color render (hard ids).
+    screen, soft_ids, hard_ids = pipeline.raster_camera_view(
+        verts, assets, R, T, config, rcfg,
+        need_soft=coarse_on, need_hard=app_on,
+    )
+
     if coarse_on:
-        alpha = pipeline.render_silhouette(verts, assets, R, T, config, rcfg)
+        from harp_tpu.render.rasterizer import soft_alpha_from_ids
+
+        alpha = soft_alpha_from_ids(soft_ids, screen, assets.render_faces, rcfg)
         losses["silhouette"] = silhouette_loss(alpha, batch_masks)
         if not config.known_appearance and config.model_type != "nimble":
             losses["kps_anchor"] = kps_anchor_loss(
@@ -85,11 +94,12 @@ def compute_losses(params, aux, fids, batch_imgs, batch_masks, batch_masks_er,
             rgb = render_rgb_with_shadow(
                 verts, assets, config, rcfg, params["cam"][fids], light,
                 params["amb_ratio"], params["texture"], params["normal_map"],
+                camera_raster=(screen, hard_ids),
             )
         else:
             rgb = pipeline.render_rgb(
                 verts, assets, R, T, config, rcfg, params["texture"],
-                params["normal_map"], light,
+                params["normal_map"], light, precomputed=(screen, hard_ids),
             )
         losses["photo"] = photometric_loss(rgb, batch_imgs, batch_masks_er)
         if vgg is not None:

@@ -4,12 +4,12 @@ Replaces the XLA per-tile pass of harp_tpu.render.rasterizer (the hot path;
 measured 1.4 s/step for the soft list at 448^2 x 8 frames in pure XLA) with
 one fused kernel:
 
-- grid = (B, T): one program per (frame, tile); the per-tile face COUNT
-  bounds the inner loop, so empty tiles (most of the image) cost nothing —
-  the XLA path always burns the full face capacity.
+- grid = (B, T / TC): each program rasterizes TC=8 tiles of one frame; the
+  per-tile face COUNT bounds the inner loop, so empty tiles (most of the
+  image) cost nothing — the XLA path always burns the full face capacity.
 - the whole packed face table (F x 12: 3 vertices x (u, v, z) + padding)
   lives in VMEM and is indexed dynamically per binned face id.
-- per-pixel state is kept in registers/VMEM: argmin-depth face (hard
+- per-pixel state is kept in registers: argmin-depth face (hard
   rasterization) and a K-slot nearest-distance list (soft rasterization)
   maintained by vectorized insertion (replace-the-max), instead of XLA's
   concat + top_k sort.
@@ -17,12 +17,13 @@ one fused kernel:
 Outputs are integer face ids only — identical semantics to
 `rasterizer._rasterize_ids`, so the differentiable recompute (coverage,
 barycentrics) and therefore gradients are unchanged. Binning stays in XLA
-(one masked top_k; cheap relative to the tile pass).
+(one masked top_k; cheap relative to the tile pass). Block shapes follow the
+TPU tiling rule (last two dims multiples of (8, 128) or whole-array), which
+is why tiles are grouped in eights.
 """
 
 from __future__ import annotations
 
-import math
 from functools import partial
 
 import jax
@@ -33,90 +34,96 @@ from jax.experimental.pallas import tpu as pltpu
 
 from harp_tpu.render.rasterizer import RasterConfig, _bin_faces, _untile
 
+TC = 8  # tiles per program
 
-def _kernel(count_ref, ids_ref, fv_ref, hard_ref, soft_ref,
-            *, cfg: RasterConfig, K: int, nt: int):
+
+def _kernel(counts_ref, ids_ref, fv_ref, hard_ref, soft_ref,
+            *, cfg: RasterConfig, K: int, nt: int, T: int):
     ts = cfg.tile
     P = ts * ts
-    t = pl.program_id(1)
-    ou = (t % nt) * ts
-    ov = (t // nt) * ts
+    b = pl.program_id(0)
+    tg = pl.program_id(1)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
-    px = (ou + lane % ts).astype(jnp.float32) + 0.5
-    py = (ov + lane // ts).astype(jnp.float32) + 0.5
-
     blur_px2 = jnp.float32(cfg.blur_px2)
     znear = jnp.float32(cfg.znear)
     inf = jnp.float32(3.4e38)
 
-    def body(i, state):
-        zmin, hard, sd, sid = state
-        fid = ids_ref[0, 0, i]
-        fv = fv_ref[fid]  # (12,) packed x0 y0 z0 x1 y1 z1 x2 y2 z2 pad
-        x0, y0, z0 = fv[0], fv[1], fv[2]
-        x1, y1, z1 = fv[3], fv[4], fv[5]
-        x2, y2, z2 = fv[6], fv[7], fv[8]
+    def tile_body(j, _):
+        t = tg * TC + j
+        ou = (t % nt) * ts
+        ov = (t // nt) * ts
+        px = (ou + lane % ts).astype(jnp.float32) + 0.5
+        py = (ov + lane // ts).astype(jnp.float32) + 0.5
 
-        area2 = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
-        w0 = (x1 - px) * (y2 - py) - (x2 - px) * (y1 - py)
-        w1 = (x2 - px) * (y0 - py) - (x0 - px) * (y2 - py)
-        w2 = (x0 - px) * (y1 - py) - (x1 - px) * (y0 - py)
-        denom = jnp.where(jnp.abs(area2) > 1e-10, area2,
-                          jnp.where(area2 >= 0, 1e-10, -1e-10))
-        b0, b1, b2 = w0 / denom, w1 / denom, w2 / denom
-        valid = (jnp.abs(area2) > 1e-10) & (z0 > znear) & (z1 > znear) & (z2 > znear)
-        inside = (b0 >= 0) & (b1 >= 0) & (b2 >= 0) & valid
+        def face_body(i, state):
+            zmin, hard, sd, sid = state
+            fid = ids_ref[0, 0, j, i]
+            fv = fv_ref[0, fid]  # (12,)
+            x0, y0, z0 = fv[0], fv[1], fv[2]
+            x1, y1, z1 = fv[3], fv[4], fv[5]
+            x2, y2, z2 = fv[6], fv[7], fv[8]
 
-        def seg_d2(ax, ay, bx, by):
-            abx, aby = bx - ax, by - ay
-            apx, apy = px - ax, py - ay
-            dn = abx * abx + aby * aby + 1e-12
-            tt = jnp.clip((apx * abx + apy * aby) / dn, 0.0, 1.0)
-            dx = apx - tt * abx
-            dy = apy - tt * aby
-            return dx * dx + dy * dy
+            area2 = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
+            w0 = (x1 - px) * (y2 - py) - (x2 - px) * (y1 - py)
+            w1 = (x2 - px) * (y0 - py) - (x0 - px) * (y2 - py)
+            w2 = (x0 - px) * (y1 - py) - (x1 - px) * (y0 - py)
+            denom = jnp.where(jnp.abs(area2) > 1e-10, area2,
+                              jnp.where(area2 >= 0, 1e-10, -1e-10))
+            b0, b1, b2 = w0 / denom, w1 / denom, w2 / denom
+            valid = (jnp.abs(area2) > 1e-10) & (z0 > znear) & (z1 > znear) & (z2 > znear)
+            inside = (b0 >= 0) & (b1 >= 0) & (b2 >= 0) & valid
 
-        d2 = jnp.minimum(
-            jnp.minimum(seg_d2(x0, y0, x1, y1), seg_d2(x1, y1, x2, y2)),
-            seg_d2(x2, y2, x0, y0),
+            def seg_d2(ax, ay, bx, by):
+                abx, aby = bx - ax, by - ay
+                apx, apy = px - ax, py - ay
+                dn = abx * abx + aby * aby + 1e-12
+                tt = jnp.clip((apx * abx + apy * aby) / dn, 0.0, 1.0)
+                dx = apx - tt * abx
+                dy = apy - tt * aby
+                return dx * dx + dy * dy
+
+            d2 = jnp.minimum(
+                jnp.minimum(seg_d2(x0, y0, x1, y1), seg_d2(x1, y1, x2, y2)),
+                seg_d2(x2, y2, x0, y0),
+            )
+            signed = jnp.where(inside, -d2, d2)
+
+            z = b0 * z0 + b1 * z1 + b2 * z2
+            zc = jnp.where(inside, z, inf)
+            better = zc < zmin
+            zmin = jnp.where(better, zc, zmin)
+            hard = jnp.where(better, fid, hard)
+
+            cand = jnp.where(valid & (signed <= blur_px2), signed, inf)
+            cur_max = sd[0]
+            arg = jnp.zeros_like(hard)
+            for k in range(1, K):
+                bigger = sd[k] > cur_max
+                cur_max = jnp.where(bigger, sd[k], cur_max)
+                arg = jnp.where(bigger, k, arg)
+            replace = cand < cur_max
+            new_sd, new_sid = [], []
+            for k in range(K):
+                sel = replace & (arg == k)
+                new_sd.append(jnp.where(sel, cand, sd[k]))
+                new_sid.append(jnp.where(sel, fid, sid[k]))
+            return zmin, hard, tuple(new_sd), tuple(new_sid)
+
+        zmin0 = jnp.full((1, P), inf, jnp.float32)
+        hard0 = jnp.full((1, P), -1, jnp.int32)
+        sd0 = tuple(jnp.full((1, P), inf, jnp.float32) for _ in range(K))
+        sid0 = tuple(jnp.full((1, P), -1, jnp.int32) for _ in range(K))
+        n = counts_ref[b * T + t]
+        zmin, hard, sd, sid = jax.lax.fori_loop(
+            0, n, face_body, (zmin0, hard0, sd0, sid0)
         )
-        signed = jnp.where(inside, -d2, d2)
-
-        # Hard: argmin view-depth among covering faces.
-        z = b0 * z0 + b1 * z1 + b2 * z2
-        zc = jnp.where(inside, z, inf)
-        better = zc < zmin
-        zmin = jnp.where(better, zc, zmin)
-        hard = jnp.where(better, fid, hard)
-
-        # Soft: K-slot insertion of smallest signed distances within blur.
-        cand = jnp.where(valid & (signed <= blur_px2), signed, inf)
-        cur_max = sd[0]
-        arg = jnp.zeros_like(hard)
-        for k in range(1, K):
-            is_bigger = sd[k] > cur_max
-            cur_max = jnp.where(is_bigger, sd[k], cur_max)
-            arg = jnp.where(is_bigger, k, arg)
-        replace = cand < cur_max
-        new_sd = []
-        new_sid = []
+        hard_ref[0, j] = hard[0]
         for k in range(K):
-            sel = replace & (arg == k)
-            new_sd.append(jnp.where(sel, cand, sd[k]))
-            new_sid.append(jnp.where(sel, fid, sid[k]))
-        return zmin, hard, tuple(new_sd), tuple(new_sid)
+            soft_ref[0, j, k] = jnp.where(sd[k] < inf, sid[k], -1)[0]
+        return 0
 
-    zmin0 = jnp.full((1, P), inf, jnp.float32)
-    hard0 = jnp.full((1, P), -1, jnp.int32)
-    sd0 = tuple(jnp.full((1, P), inf, jnp.float32) for _ in range(K))
-    sid0 = tuple(jnp.full((1, P), -1, jnp.int32) for _ in range(K))
-    n = jnp.minimum(count_ref[0, 0], ids_ref.shape[-1])
-    zmin, hard, sd, sid = jax.lax.fori_loop(0, n, body, (zmin0, hard0, sd0, sid0))
-
-    hard_ref[0, 0] = hard[0]
-    for k in range(K):
-        soft_ref[0, 0, k] = jnp.where(sd[k] < inf, sid[k], -1)[0]
+    jax.lax.fori_loop(0, TC, tile_body, 0)
 
 
 def pallas_rasterize(verts_px, faces, cfg: RasterConfig, interpret: bool = False):
@@ -141,34 +148,43 @@ def _pallas_rasterize_impl(verts_px, faces, cfg: RasterConfig, interpret: bool):
     nt = cfg.image_size // ts
     T = nt * nt
     P = ts * ts
+    assert T % TC == 0, f"tile count {T} must be a multiple of {TC}"
 
     fv = verts_px[:, faces]  # (B, F, 3, 3)
     tile_ids, counts = _bin_faces(fv, cfg)
-    counts = jnp.minimum(counts, cfg.cap).astype(jnp.int32)
+    counts = jnp.minimum(counts, cfg.cap).astype(jnp.int32).reshape(-1)  # (B*T,)
     fv12 = jnp.concatenate(
         [fv.reshape(B, -1, 9), jnp.zeros((B, fv.shape[1], 3), verts_px.dtype)], -1
-    )  # pad to 12 for aligned rows
+    )  # pad rows to 12 floats
+    tile_ids = tile_ids.reshape(B, T // TC, TC, cfg.cap)
 
-    kernel = partial(_kernel, cfg=cfg, K=K, nt=nt)
-    hard, soft = pl.pallas_call(
-        kernel,
-        grid=(B, T),
+    kernel = partial(_kernel, cfg=cfg, K=K, nt=nt, T=T)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, T // TC),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda b, t: (b, t), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, cfg.cap), lambda b, t: (b, t, 0)),
-            pl.BlockSpec((None, fv12.shape[1], 12), lambda b, t: (b, 0, 0)),
+            pl.BlockSpec((1, 1, TC, cfg.cap), lambda b, t, c: (b, t, 0, 0)),
+            pl.BlockSpec((1, fv12.shape[1], 12), lambda b, t, c: (b, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, P), lambda b, t: (b, t, 0)),
-            pl.BlockSpec((1, 1, K, P), lambda b, t: (b, t, 0, 0)),
+            pl.BlockSpec((1, TC, P), lambda b, t, c: (b * (T // TC) + t, 0, 0)),
+            pl.BlockSpec((1, TC, K, P), lambda b, t, c: (b * (T // TC) + t, 0, 0, 0)),
         ],
+    )
+    hard, soft = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((B, T, P), jnp.int32),
-            jax.ShapeDtypeStruct((B, T, K, P), jnp.int32),
+            jax.ShapeDtypeStruct((B * (T // TC), TC, P), jnp.int32),
+            jax.ShapeDtypeStruct((B * (T // TC), TC, K, P), jnp.int32),
         ],
         interpret=interpret,
     )(counts, tile_ids, fv12)
 
-    hard_ids = _untile(hard, cfg)
-    soft_ids = _untile(jnp.moveaxis(soft, 2, 3), cfg)  # (B, H, W, K)
+    hard_ids = _untile(hard.reshape(B, T, P), cfg)
+    soft = jnp.moveaxis(soft.reshape(B, T, K, P), 2, 3)  # (B, T, P, K)
+    soft_ids = _untile(soft, cfg)
     return soft_ids, hard_ids
+
+
+

@@ -20,6 +20,7 @@ from harp_tpu.render.rasterizer import (
     RasterConfig,
     rasterize_soft,
     rasterize_hard,
+    get_ids,
     soft_alpha_from_ids,
     barycentrics_of,
 )
@@ -77,8 +78,19 @@ def render_silhouette(verts, assets: AvatarAssets, R, T, config: HarpConfig,
                       raster_cfg: RasterConfig):
     """Soft silhouette alpha (B, H, W) — SoftSilhouetteShader semantics."""
     screen = cam_mod.screen_from_world(verts, R, T, config.focal_length, config.img_size)
-    ids = rasterize_soft(screen, assets.render_faces, raster_cfg)
+    ids, _ = get_ids(screen, assets.render_faces, raster_cfg, True, False)
     return soft_alpha_from_ids(ids, screen, assets.render_faces, raster_cfg)
+
+
+def raster_camera_view(verts, assets: AvatarAssets, R, T, config: HarpConfig,
+                       raster_cfg: RasterConfig, need_soft=True, need_hard=True):
+    """Shared camera-view rasterization for silhouette + color renders:
+    one binning + one tile pass produces both id sets."""
+    screen = cam_mod.screen_from_world(verts, R, T, config.focal_length, config.img_size)
+    soft_ids, hard_ids = get_ids(
+        screen, assets.render_faces, raster_cfg, need_soft, need_hard
+    )
+    return screen, soft_ids, hard_ids
 
 
 def _shade_pixels(verts, ids, bary, mask, assets, R, T, config: HarpConfig,
@@ -124,10 +136,18 @@ def _shade_pixels(verts, ids, bary, mask, assets, R, T, config: HarpConfig,
 
 
 def render_rgb(verts, assets: AvatarAssets, R, T, config: HarpConfig,
-               raster_cfg: RasterConfig, texture, normal_map, light_positions):
-    """Phong color render without shadows (B, H, W, 3)."""
-    screen = cam_mod.screen_from_world(verts, R, T, config.focal_length, config.img_size)
-    ids = rasterize_hard(screen, assets.render_faces, raster_cfg)
+               raster_cfg: RasterConfig, texture, normal_map, light_positions,
+               precomputed=None):
+    """Phong color render without shadows (B, H, W, 3).
+
+    precomputed: optional (screen, hard_ids) from raster_camera_view to
+    share the rasterization with the silhouette render.
+    """
+    if precomputed is None:
+        screen = cam_mod.screen_from_world(verts, R, T, config.focal_length, config.img_size)
+        _, ids = get_ids(screen, assets.render_faces, raster_cfg, False, True)
+    else:
+        screen, ids = precomputed
     bary, _, mask = barycentrics_of(ids, screen, assets.render_faces, raster_cfg)
     return _shade_pixels(
         verts, ids, bary, mask, assets, R, T, config, texture, normal_map,
@@ -137,12 +157,15 @@ def render_rgb(verts, assets: AvatarAssets, R, T, config: HarpConfig,
 
 
 def render_normal(verts, assets: AvatarAssets, R, T, config: HarpConfig,
-                  raster_cfg: RasterConfig, normal_map=None):
+                  raster_cfg: RasterConfig, normal_map=None, precomputed=None):
     """Normals-as-colors render (B, H, W, 3) — SoftPhongNormalShader semantics:
     interpolated (optionally normal-mapped) normals, y/z negated, mapped to
     [0,1], composited over the background."""
-    screen = cam_mod.screen_from_world(verts, R, T, config.focal_length, config.img_size)
-    ids = rasterize_hard(screen, assets.render_faces, raster_cfg)
+    if precomputed is None:
+        screen = cam_mod.screen_from_world(verts, R, T, config.focal_length, config.img_size)
+        _, ids = get_ids(screen, assets.render_faces, raster_cfg, False, True)
+    else:
+        screen, ids = precomputed
     bary, _, mask = barycentrics_of(ids, screen, assets.render_faces, raster_cfg)
     faces = assets.render_faces
     normals_v = vertex_normals(verts, faces)

@@ -48,6 +48,8 @@ class RasterConfig:
     tile_chunk: int = 4  # tiles per raster chunk
     face_chunk: int = 64  # faces per inner accumulation step
     znear: float = 1e-6
+    # "auto": Pallas kernel on TPU, XLA elsewhere; or force "pallas"/"xla".
+    backend: str = "auto"
 
     @property
     def ndc_scale(self) -> float:
@@ -306,6 +308,33 @@ def rasterize(verts_px, faces, cfg: RasterConfig):
     faces = jnp.asarray(np.asarray(faces), jnp.int32)
     out = _rasterize_ids(jax.lax.stop_gradient(verts_px), faces, cfg, True, True)
     return out["soft_ids"], out["hard_ids"]
+
+
+def _use_pallas(cfg: RasterConfig) -> bool:
+    if cfg.backend == "pallas":
+        return True
+    if cfg.backend == "xla":
+        return False
+    return jax.default_backend() not in ("cpu",)
+
+
+def get_ids(verts_px, faces, cfg: RasterConfig, need_soft: bool = True,
+            need_hard: bool = True):
+    """Unified id rasterization: (soft_ids | None, hard_ids | None).
+
+    Dispatches to the fused Pallas kernel on TPU (which always computes both
+    outputs in one count-bounded pass) or the XLA reference path elsewhere.
+    """
+    if _use_pallas(cfg):
+        from harp_tpu.render.pallas.raster_kernel import pallas_rasterize
+
+        soft, hard = pallas_rasterize(verts_px, faces, cfg)
+        return (soft if need_soft else None), (hard if need_hard else None)
+    faces = jnp.asarray(np.asarray(faces), jnp.int32)
+    out = _rasterize_ids(
+        jax.lax.stop_gradient(verts_px), faces, cfg, need_soft, need_hard
+    )
+    return out.get("soft_ids"), out.get("hard_ids")
 
 
 # ---------------------------------------------------------------------------

@@ -57,12 +57,17 @@ def shadow_cameras(cam, light_positions, hand_center, config: HarpConfig):
 def render_rgb_with_shadow(
     verts, assets: AvatarAssets, config: HarpConfig, raster_cfg: RasterConfig,
     cam, light_positions, amb_ratio_logit, texture, normal_map,
+    camera_raster=None,
 ):
     """Shadowed Phong color render (B, H, W, 3).
 
     amb_ratio_logit: scalar parameter; sigmoid gives the ambient fraction
     (reference optimize_sequence.py:480 nn.Sigmoid()(params['amb_ratio'])).
+    camera_raster: optional precomputed (screen_c, hard_ids_c) to share the
+    camera-view rasterization with the silhouette render.
     """
+    from harp_tpu.render.rasterizer import get_ids
+
     hand_center = verts.mean(axis=1)
     light_R, light_T, cam_R, cam_T = shadow_cameras(cam, light_positions, hand_center, config)
     faces = assets.render_faces
@@ -70,14 +75,17 @@ def render_rgb_with_shadow(
 
     # Pass 1: depth from the light.
     screen_l = cam_mod.screen_from_world(verts, light_R, light_T, config.focal_length, H)
-    ids_l = rasterize_hard(screen_l, faces, raster_cfg)
+    _, ids_l = get_ids(screen_l, faces, raster_cfg, False, True)
     _, z_l, mask_l = barycentrics_of(ids_l, screen_l, faces, raster_cfg)
     # pytorch3d zbuf convention: -1 where no face.
     depth_light = jnp.where(mask_l, z_l, -1.0)
 
-    # Pass 2: camera rasterization.
-    screen_c = cam_mod.screen_from_world(verts, cam_R, cam_T, config.focal_length, H)
-    ids_c = rasterize_hard(screen_c, faces, raster_cfg)
+    # Pass 2: camera rasterization (possibly shared with the silhouette).
+    if camera_raster is None:
+        screen_c = cam_mod.screen_from_world(verts, cam_R, cam_T, config.focal_length, H)
+        _, ids_c = get_ids(screen_c, faces, raster_cfg, False, True)
+    else:
+        screen_c, ids_c = camera_raster
     bary_c, _, mask_c = barycentrics_of(ids_c, screen_c, faces, raster_cfg)
 
     # World position of camera hits -> light view depth + light screen xy.
