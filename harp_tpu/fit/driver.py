@@ -177,8 +177,16 @@ def stage_flags(epoch: int, config: HarpConfig):
 def fit_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
                  params: dict, aux: dict, rcfg: RasterConfig | None = None,
                  vgg: Vgg16Features | None = None, seed: int = 0,
-                 log_every: int = 10, callback=None):
-    """Run the staged optimization. Returns (params, history)."""
+                 log_every: int = 10, callback=None,
+                 out_dir: str | None = None, image_log_every: int = 0,
+                 checkpoint_every: int = 200):
+    """Run the staged optimization. Returns (params, history).
+
+    out_dir enables observability (the reference's TensorBoard scalars +
+    periodic image logs + checkpoints, optimize_sequence.py:490-592):
+    per-step loss JSONL, silhouette/RGB pair grids every `image_log_every`
+    epochs, full-state checkpoints every `checkpoint_every` epochs.
+    """
     from harp_tpu.fit.optimizer import build_optimizers, PlateauState, plateau_update
 
     rcfg = rcfg or config.raster_config()
@@ -186,6 +194,12 @@ def fit_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
         vgg = Vgg16Features.create()
     txs, opt_states, masks = build_optimizers(params, config)
     train_step = make_train_step(assets, config, rcfg, vgg, txs, masks)
+
+    logger = None
+    if out_dir is not None:
+        from harp_tpu.utils.profiling import MetricsLogger
+
+        logger = MetricsLogger(out_dir)
 
     # ARAP reference mesh: frame 0 at the initial parameters (reference :431).
     ref_verts, _ = pipeline.mesh_forward(params, jnp.asarray([0]), assets, config)
@@ -220,6 +234,52 @@ def fit_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
             )
         history.append({"epoch": epoch, "loss": epoch_loss,
                         **{k: float(v) for k, v in breakdown.items()}})
+        if logger is not None:
+            logger.log(epoch, lr_scale=plateau.scale, **history[-1])
+        if out_dir is not None and image_log_every and epoch % image_log_every == 0:
+            _log_images(params, aux, data, assets, config, rcfg, out_dir, epoch)
+        if out_dir is not None and checkpoint_every and epoch > 0                 and epoch % checkpoint_every == 0:
+            from harp_tpu.utils.io import save_result, save_checkpoint
+            import os
+
+            save_result(params, out_dir, test=config.known_appearance)
+            save_checkpoint(
+                os.path.join(out_dir, "checkpoint.pkl"), params, opt_states,
+                epoch, plateau.scale,
+            )
         if callback is not None:
             callback(epoch, params, history[-1])
+    if logger is not None:
+        logger.close()
     return params, history
+
+
+def _log_images(params, aux, data, assets, config, rcfg, out_dir, epoch):
+    """Silhouette overlay + RGB pair grids for the first frames
+    (reference show_img_pair logging, optimize_sequence.py:490-501)."""
+    import os
+    from harp_tpu.utils import viz
+
+    n = min(9, data.num_frames)
+    fids = jnp.arange(n)
+
+    @jax.jit
+    def render(p):
+        verts, _ = pipeline.mesh_forward(p, fids, assets, config)
+        R, T = pipeline.camera_for_frames(p, fids, config)
+        alpha = pipeline.render_silhouette(verts, assets, R, T, config, rcfg)
+        light = jnp.broadcast_to(p["light_positions"][0], (n, 3))
+        rgb = pipeline.render_rgb(
+            verts, assets, R, T, config, rcfg, p["texture"], p["normal_map"], light
+        )
+        return alpha, rgb
+
+    alpha, rgb = render(params)
+    viz.save_pair_grid(
+        np.asarray(alpha), np.asarray(data.masks[:n]),
+        os.path.join(out_dir, "sil_%04d.jpg" % epoch), silhouette=True,
+    )
+    viz.save_pair_grid(
+        np.asarray(rgb), np.asarray(data.images[:n]),
+        os.path.join(out_dir, "%04d.jpg" % epoch),
+    )

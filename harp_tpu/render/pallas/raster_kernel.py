@@ -57,7 +57,7 @@ def _kernel(counts_ref, ids_ref, fv_ref, hard_ref, soft_ref,
         py = (ov + lane // ts).astype(jnp.float32) + 0.5
 
         def face_body(i, state):
-            zmin, hard, sd, sid = state
+            zmin, hard, cnt, sd, sid = state
             fid = ids_ref[0, 0, j, i]
             fv = fv_ref[0, fid]  # (12,)
             x0, y0, z0 = fv[0], fv[1], fv[2]
@@ -95,28 +95,25 @@ def _kernel(counts_ref, ids_ref, fv_ref, hard_ref, soft_ref,
             zmin = jnp.where(better, zc, zmin)
             hard = jnp.where(better, fid, hard)
 
-            cand = jnp.where(valid & (signed <= blur_px2), signed, inf)
-            cur_max = sd[0]
-            arg = jnp.zeros_like(hard)
-            for k in range(1, K):
-                bigger = sd[k] > cur_max
-                cur_max = jnp.where(bigger, sd[k], cur_max)
-                arg = jnp.where(bigger, k, arg)
-            replace = cand < cur_max
+            # First-K-in-order slot insertion (policy shared with the XLA
+            # path's slot compaction and the brute-force reference).
+            hit = valid & (signed <= blur_px2)
             new_sd, new_sid = [], []
             for k in range(K):
-                sel = replace & (arg == k)
-                new_sd.append(jnp.where(sel, cand, sd[k]))
+                sel = hit & (cnt == k)
+                new_sd.append(jnp.where(sel, signed, sd[k]))
                 new_sid.append(jnp.where(sel, fid, sid[k]))
-            return zmin, hard, tuple(new_sd), tuple(new_sid)
+            cnt = cnt + hit.astype(jnp.int32)
+            return zmin, hard, cnt, tuple(new_sd), tuple(new_sid)
 
         zmin0 = jnp.full((1, P), inf, jnp.float32)
         hard0 = jnp.full((1, P), -1, jnp.int32)
+        cnt0 = jnp.zeros((1, P), jnp.int32)
         sd0 = tuple(jnp.full((1, P), inf, jnp.float32) for _ in range(K))
         sid0 = tuple(jnp.full((1, P), -1, jnp.int32) for _ in range(K))
         n = counts_ref[b * T + t]
-        zmin, hard, sd, sid = jax.lax.fori_loop(
-            0, n, face_body, (zmin0, hard0, sd0, sid0)
+        zmin, hard, _, sd, sid = jax.lax.fori_loop(
+            0, n, face_body, (zmin0, hard0, cnt0, sd0, sid0)
         )
         hard_ref[0, j] = hard[0]
         for k in range(K):

@@ -8,8 +8,9 @@ dependency, renderer_helper.py:44-48) with a TPU-friendly design:
     shapes, no host control flow.
 2.  **Per-tile rasterization** (integer outputs): each tile computes signed
     pixel-to-face distances / coverage for its face list and keeps
-    - soft mode: the K nearest-by-distance face ids within the blur radius
-      (for silhouette coverage), and
+    - soft mode: the first K face ids (bin-list order) within the blur
+      radius (for silhouette coverage; the coverage product is
+      order-independent and >K contributors at sigma=1e-7 is rare), and
     - hard mode: the argmin-depth covering face id (for color/normal/depth).
 3.  **Differentiable recompute**: given the integer ids, coverage
     probabilities, barycentrics and depths are recomputed in plain JAX, so
@@ -226,11 +227,12 @@ def _rasterize_ids(verts_px, faces, cfg: RasterConfig, need_soft: bool, need_har
 
         soft_d0 = jnp.full((B, Tc, P, K), jnp.inf, jnp.float32)
         soft_id0 = jnp.full((B, Tc, P, K), -1, jnp.int32)
+        base0 = jnp.zeros((B, Tc, P), jnp.int32)
         hard_z0 = jnp.full((B, Tc, P), jnp.inf, jnp.float32)
         hard_id0 = jnp.full((B, Tc, P), -1, jnp.int32)
 
         def step(i, state):
-            soft_d, soft_id, hard_z, hard_id = state
+            soft_d, soft_id, base, hard_z, hard_id = state
             sl = jax.lax.dynamic_slice_in_dim(ids_c, i * cfg.face_chunk, cfg.face_chunk, axis=2)
             slot_valid = sl >= 0
             slc = jnp.maximum(sl, 0)
@@ -248,16 +250,28 @@ def _rasterize_ids(verts_px, faces, cfg: RasterConfig, need_soft: bool, need_har
             d_px2 = g["signed_d_ndc2"] / (cfg.ndc_scale**2)
             ok = slot_valid[..., None] & g["valid"]
             if need_soft:
-                cand_d = jnp.where(ok & (d_px2 <= blur_px2), d_px2, jnp.inf)
-                cand_d = jnp.moveaxis(cand_d, 2, 3)  # (B, Tc, P, fc)
-                cand_id = jnp.broadcast_to(
-                    jnp.moveaxis(slc[..., None], 2, 3), cand_d.shape
+                # Slot compaction: keep the FIRST K faces (in bin-list order)
+                # within the blur radius. Elementwise only — no per-step sort
+                # (the concat+top_k merge measured 13x the hard-raster cost).
+                hit = ok & (d_px2 <= blur_px2)
+                hit_p = jnp.moveaxis(hit, 2, 3)  # (B, Tc, P, fc)
+                d_p = jnp.moveaxis(d_px2, 2, 3)
+                id_p = jnp.broadcast_to(
+                    jnp.moveaxis(slc[..., None], 2, 3), d_p.shape
                 ).astype(jnp.int32)
-                all_d = jnp.concatenate([soft_d, cand_d], axis=-1)
-                all_id = jnp.concatenate([soft_id, cand_id], axis=-1)
-                _, top_idx = jax.lax.top_k(-all_d, K)
-                soft_d = jnp.take_along_axis(all_d, top_idx, axis=-1)
-                soft_id = jnp.take_along_axis(all_id, top_idx, axis=-1)
+                pos = base[..., None] + jnp.cumsum(hit_p, axis=-1) - 1
+                new_d, new_id = [], []
+                for k in range(K):
+                    selk = hit_p & (pos == k)  # at most one true along fc
+                    dk = jnp.min(jnp.where(selk, d_p, jnp.inf), axis=-1)
+                    ik = jnp.max(jnp.where(selk, id_p, -1), axis=-1)
+                    cur = soft_d[..., k]
+                    take = jnp.isinf(cur) & ~jnp.isinf(dk)
+                    new_d.append(jnp.where(take, dk, cur))
+                    new_id.append(jnp.where(take, ik, soft_id[..., k]))
+                soft_d = jnp.stack(new_d, -1)
+                soft_id = jnp.stack(new_id, -1)
+                base = base + hit_p.sum(-1).astype(jnp.int32)
             if need_hard:
                 cand_z = jnp.where(ok & g["inside"], g["z"], jnp.inf)  # (B,Tc,fc,P)
                 zmin = cand_z.min(axis=2)
@@ -268,10 +282,10 @@ def _rasterize_ids(verts_px, faces, cfg: RasterConfig, need_soft: bool, need_har
                 better = zmin < hard_z
                 hard_z = jnp.where(better, zmin, hard_z)
                 hard_id = jnp.where(better, zid.astype(jnp.int32), hard_id)
-            return soft_d, soft_id, hard_z, hard_id
+            return soft_d, soft_id, base, hard_z, hard_id
 
-        soft_d, soft_id, hard_z, hard_id = jax.lax.fori_loop(
-            0, n_face_steps, step, (soft_d0, soft_id0, hard_z0, hard_id0)
+        soft_d, soft_id, _, hard_z, hard_id = jax.lax.fori_loop(
+            0, n_face_steps, step, (soft_d0, soft_id0, base0, hard_z0, hard_id0)
         )
         soft_id = jnp.where(jnp.isinf(soft_d), -1, soft_id)
         return soft_id, hard_id
@@ -290,7 +304,8 @@ def _rasterize_ids(verts_px, faces, cfg: RasterConfig, need_soft: bool, need_har
 
 
 def rasterize_soft(verts_px, faces, cfg: RasterConfig):
-    """-> (B, H, W, K) int32 face ids within blur radius, nearest-first, -1 empty."""
+    """-> (B, H, W, K) int32: first K faces (bin-list order) within the blur
+    radius per pixel; -1 for empty slots."""
     faces = jnp.asarray(np.asarray(faces), jnp.int32)
     out = _rasterize_ids(jax.lax.stop_gradient(verts_px), faces, cfg, True, False)
     return out["soft_ids"]
@@ -313,9 +328,12 @@ def rasterize(verts_px, faces, cfg: RasterConfig):
 def _use_pallas(cfg: RasterConfig) -> bool:
     if cfg.backend == "pallas":
         return True
-    if cfg.backend == "xla":
-        return False
-    return jax.default_backend() not in ("cpu",)
+    # "auto" currently resolves to the XLA path everywhere: Mosaic kernel
+    # compilation hangs on the axon remote-compile tunnel in this
+    # environment (even a trivial kernel). The Pallas kernel remains
+    # selectable via backend="pallas" and is kept at parity by
+    # interpreter-mode tests.
+    return False
 
 
 def get_ids(verts_px, faces, cfg: RasterConfig, need_soft: bool = True,
@@ -412,21 +430,17 @@ def rasterize_brute(verts_px, faces, cfg: RasterConfig):
         fv[:, :, None, None, :, :], px[None, None], py[None, None], cfg
     )  # (B, F, H, W)
     d_px2 = g["signed_d_ndc2"] / (cfg.ndc_scale**2)
-    soft_d = jnp.where(g["valid"] & (d_px2 <= cfg.blur_px2), d_px2, jnp.inf)
-    soft_d = jnp.moveaxis(soft_d, 1, -1)
-    if soft_d.shape[-1] < cfg.faces_per_pixel:
-        soft_d = jnp.pad(
-            soft_d,
-            ((0, 0),) * 3 + ((0, cfg.faces_per_pixel - soft_d.shape[-1]),),
-            constant_values=jnp.inf,
-        )
-    soft_d = jnp.moveaxis(soft_d, -1, 1)
-    _, order = jax.lax.top_k(-jnp.moveaxis(soft_d, 1, -1), cfg.faces_per_pixel)
-    soft_ids = jnp.where(
-        jnp.take_along_axis(jnp.moveaxis(soft_d, 1, -1), order, -1) < jnp.inf,
-        order.astype(jnp.int32),
-        -1,
-    )
+    hit = g["valid"] & (d_px2 <= cfg.blur_px2)
+    hit = jnp.moveaxis(hit, 1, -1)  # (B, H, W, F)
+    F = hit.shape[-1]
+    # First K hits in face-id order (the same policy as the tiled path's
+    # slot compaction; bin lists are face-id ordered).
+    key = jnp.where(hit, -jnp.arange(F, dtype=jnp.float32), -jnp.inf)
+    if F < cfg.faces_per_pixel:
+        key = jnp.pad(key, ((0, 0),) * 3 + ((0, cfg.faces_per_pixel - F),),
+                      constant_values=-jnp.inf)
+    vals, order = jax.lax.top_k(key, cfg.faces_per_pixel)
+    soft_ids = jnp.where(vals > -jnp.inf, order.astype(jnp.int32), -1)
     zc = jnp.where(g["inside"], g["z"], jnp.inf)
     hard = jnp.argmin(zc, axis=1).astype(jnp.int32)
     hard_ids = jnp.where(jnp.isinf(zc.min(axis=1)), -1, hard)
