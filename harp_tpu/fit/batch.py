@@ -1,0 +1,190 @@
+"""Pod-scale batch fitting: optimize MANY sequences simultaneously
+(BASELINE.json config 5; no reference equivalent — the reference fits one
+sequence per GPU-process run).
+
+Design: every per-sequence quantity (parameter pytree, optimizer state,
+images, masks, anchors, ARAP reference) gains a leading sequence axis S; the
+single-sequence `compute_losses` + masked-Adam update is vmapped over that
+axis inside ONE jitted step. On a device mesh the sequence axis is sharded
+(each device fits its own sequences; zero cross-device communication in the
+common case — embarrassingly parallel, which is exactly why the frame
+DataLoader model of the reference wastes a pod).
+
+All sequences must share static shapes (frame count, image size, topology);
+ragged sets are padded/bucketed by the caller.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from harp_tpu.assets import AvatarAssets
+from harp_tpu.config import HarpConfig
+from harp_tpu.fit.driver import compute_losses, stage_flags
+from harp_tpu.fit.optimizer import build_optimizers, PlateauState, plateau_update
+from harp_tpu.losses import Vgg16Features
+from harp_tpu.render import pipeline
+from harp_tpu.render.rasterizer import RasterConfig
+
+
+@dataclasses.dataclass
+class BatchFitData:
+    """(S, N, ...) stacked sequence data."""
+
+    images: jnp.ndarray  # (S, N, H, W, 3)
+    masks: jnp.ndarray  # (S, N, H, W)
+    masks_eroded: jnp.ndarray  # (S, N, H, W)
+
+    @property
+    def num_sequences(self) -> int:
+        return self.images.shape[0]
+
+    @property
+    def num_frames(self) -> int:
+        return self.images.shape[1]
+
+
+def stack_params(params_list):
+    """List of per-sequence param pytrees -> one pytree with leading S axis."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *params_list)
+
+
+def unstack_params(batched, s: int):
+    return jax.tree.map(lambda x: x[s], batched)
+
+
+def make_batch_train_step(assets: AvatarAssets, config: HarpConfig,
+                          rcfg: RasterConfig, vgg: Vgg16Features | None,
+                          txs, masks):
+    """Vmapped-over-sequences train step (one jit)."""
+
+    def one_seq(params, opt_states, aux, fids, imgs, m, me, ref_verts, key,
+                lr_scale, coarse_on, app_on):
+        (total, breakdown), grads = jax.value_and_grad(
+            lambda p: compute_losses(
+                p, aux, fids, imgs, m, me, assets, config, rcfg, vgg,
+                ref_verts, key, coarse_on, app_on,
+            ),
+            has_aux=True,
+        )(params)
+        new_states = dict(opt_states)
+        if coarse_on:
+            updates, new_states["coarse"] = txs["coarse"].update(
+                grads, opt_states["coarse"], params
+            )
+            updates = jax.tree.map(lambda u: u * lr_scale, updates)
+            params = optax.apply_updates(params, updates)
+        if app_on:
+            updates, new_states["app"] = txs["app"].update(
+                grads, opt_states["app"], params
+            )
+            params = optax.apply_updates(params, updates)
+        return params, new_states, total, breakdown
+
+    @partial(jax.jit, static_argnames=("coarse_on", "app_on"), donate_argnums=(0, 1))
+    def batch_step(params_S, opt_states_S, aux_S, fids_S, imgs_S, m_S, me_S,
+                   ref_verts_S, keys_S, lr_scales_S, *, coarse_on, app_on):
+        return jax.vmap(
+            lambda p, s, a, f, i, m, me, rv, k, ls: one_seq(
+                p, s, a, f, i, m, me, rv, k, ls, coarse_on, app_on
+            )
+        )(params_S, opt_states_S, aux_S, fids_S, imgs_S, m_S, me_S,
+          ref_verts_S, keys_S, lr_scales_S)
+
+    return batch_step
+
+
+def fit_sequences_batch(config: HarpConfig, assets: AvatarAssets,
+                        data: BatchFitData, params_list, aux_list,
+                        rcfg: RasterConfig | None = None,
+                        vgg: Vgg16Features | None = None, seed: int = 0,
+                        mesh=None):
+    """Fit S sequences simultaneously. Returns (list of per-seq params,
+    list of per-seq loss histories).
+
+    mesh: optional jax.sharding.Mesh whose first axis shards the sequence
+    dimension of every stacked array.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rcfg = rcfg or config.raster_config()
+    if vgg is None and config.w_vgg > 0:
+        vgg = Vgg16Features.create()
+
+    S = data.num_sequences
+    n = data.num_frames
+    bs = min(config.batch_size, n)
+    steps = max(n // bs, 1)
+
+    params_S = stack_params(params_list)
+    aux_S = stack_params(aux_list)
+    # Optimizer: template from sequence 0, then stacked state.
+    txs, _, masks = build_optimizers(params_list[0], config)
+    opt_states_S = stack_params(
+        [{g: txs[g].init(p) for g in txs} for p in params_list]
+    )
+    batch_step = make_batch_train_step(assets, config, rcfg, vgg, txs, masks)
+
+    ref_fids = jnp.zeros((S, 1), jnp.int32)
+    ref_verts_S = jax.vmap(
+        lambda p, f: pipeline.mesh_forward(p, f, assets, config)[0][0]
+    )(params_S, ref_fids)
+
+    if mesh is not None:
+        axis = mesh.axis_names[0]
+        shard = lambda t: jax.tree.map(
+            lambda x: jax.device_put(x, NamedSharding(mesh, P(axis))), t
+        )
+        params_S = shard(params_S)
+        opt_states_S = shard(opt_states_S)
+        aux_S = shard(aux_S)
+        data = BatchFitData(
+            images=shard(data.images), masks=shard(data.masks),
+            masks_eroded=shard(data.masks_eroded),
+        )
+        ref_verts_S = shard(ref_verts_S)
+
+    rng = np.random.RandomState(seed)
+    key = jax.random.PRNGKey(seed)
+    plateaus = [PlateauState() for _ in range(S)]
+    histories = [[] for _ in range(S)]
+
+    for epoch in range(config.total_epoch):
+        coarse_on, app_on = stage_flags(epoch, config)
+        perms = np.stack([rng.permutation(n) for _ in range(S)])
+        epoch_losses = np.zeros(S)
+        for s in range(steps):
+            fids_S = jnp.asarray(perms[:, s * bs : (s + 1) * bs])
+            key, *subs = jax.random.split(key, S + 1)
+            keys_S = jnp.stack(subs)
+            lr_scales_S = jnp.asarray([p.scale for p in plateaus], jnp.float32)
+            imgs_S = jnp.take_along_axis(
+                data.images, fids_S[:, :, None, None, None], axis=1
+            )
+            m_S = jnp.take_along_axis(data.masks, fids_S[:, :, None, None], axis=1)
+            me_S = jnp.take_along_axis(
+                data.masks_eroded, fids_S[:, :, None, None], axis=1
+            )
+            params_S, opt_states_S, totals, breakdown = batch_step(
+                params_S, opt_states_S, aux_S, fids_S, imgs_S, m_S, me_S,
+                ref_verts_S, keys_S, lr_scales_S,
+                coarse_on=coarse_on, app_on=app_on,
+            )
+            epoch_losses += np.asarray(totals)
+        epoch_losses /= steps
+        for si in range(S):
+            if coarse_on:
+                plateaus[si] = plateau_update(
+                    plateaus[si], float(epoch_losses[si]),
+                    config.plateau_patience, config.plateau_factor,
+                )
+            histories[si].append({"epoch": epoch, "loss": float(epoch_losses[si])})
+
+    out_params = [unstack_params(params_S, s) for s in range(S)]
+    return out_params, histories

@@ -72,8 +72,12 @@ def forward_kinematics(
         tp = t_g[:, par]
         Rl = rotmats[:, lvl]
         tl = t_local[:, lvl]
-        R_new = jnp.einsum("blij,bljk->blik", Rp, Rl)
-        t_new = jnp.einsum("blij,blj->bli", Rp, tl) + tp
+        # Broadcast-sum instead of dot_general: 3x3 dots with >=3 batch dims
+        # trigger an XLA simplifier verifier bug under an outer vmap
+        # (batch-dim order flip in the simplified dot). 27 multiplies, so
+        # elementwise costs nothing.
+        R_new = (Rp[..., :, :, None] * Rl[..., None, :, :]).sum(-2)
+        t_new = (Rp * tl[..., None, :]).sum(-1) + tp
         R_g = R_g.at[:, lvl].set(R_new)
         t_g = t_g.at[:, lvl].set(t_new)
     return R_g, t_g
