@@ -1,25 +1,25 @@
 """Pallas TPU rasterization kernel.
 
-Replaces the XLA per-tile pass of harp_tpu.render.rasterizer (the hot path;
-measured 1.4 s/step for the soft list at 448^2 x 8 frames in pure XLA) with
-one fused kernel:
+Replaces the XLA per-tile pass of harp_tpu.render.rasterizer (the hot path —
+the XLA pass burns the full face capacity for every tile; measured ~190 ms
+fused at 448^2 x 8 frames) with a count-bounded kernel:
 
-- grid = (B, T / TC): each program rasterizes TC=8 tiles of one frame; the
-  per-tile face COUNT bounds the inner loop, so empty tiles (most of the
-  image) cost nothing — the XLA path always burns the full face capacity.
-- the whole packed face table (F x 12: 3 vertices x (u, v, z) + padding)
-  lives in VMEM and is indexed dynamically per binned face id.
-- per-pixel state is kept in registers: argmin-depth face (hard
-  rasterization) and a K-slot nearest-distance list (soft rasterization)
-  maintained by vectorized insertion (replace-the-max), instead of XLA's
-  concat + top_k sort.
+- grid = (B, T / TC): each program rasterizes TC=8 tiles of one frame.
+- Binning stays in XLA, which also PRE-GATHERS each tile's face rows into a
+  packed (B, T, cap, 16) float32 buffer: 3 vertices x (u, v, z) + the face
+  id bitcast into lane 9. Mosaic has no per-element dynamic VMEM loads
+  ("index must be a multiple of 128"), so the kernel instead walks each
+  tile's rows in sublane-aligned groups of 8 (dynamic start `8*g` via
+  pl.multiple_of) and unrolls the 8 faces statically.
+- The inner loop is bounded by the tile's face COUNT (scalar-prefetched in
+  SMEM), so empty tiles — most of the image — cost nothing.
+- Per-pixel state lives in registers: argmin-depth face (hard raster) and a
+  K-slot first-hit list (soft raster; same selection policy as the XLA path
+  and brute-force reference).
 
-Outputs are integer face ids only — identical semantics to
-`rasterizer._rasterize_ids`, so the differentiable recompute (coverage,
-barycentrics) and therefore gradients are unchanged. Binning stays in XLA
-(one masked top_k; cheap relative to the tile pass). Block shapes follow the
-TPU tiling rule (last two dims multiples of (8, 128) or whole-array), which
-is why tiles are grouped in eights.
+Outputs are integer face ids only, identical to `rasterizer._rasterize_ids`,
+so the differentiable recompute (coverage, barycentrics) and therefore
+gradients are unchanged. Interpreter-mode CPU tests assert exact agreement.
 """
 
 from __future__ import annotations
@@ -35,9 +35,11 @@ from jax.experimental.pallas import tpu as pltpu
 from harp_tpu.render.rasterizer import RasterConfig, _bin_faces, _untile
 
 TC = 8  # tiles per program
+FG = 8  # faces per aligned group (sublane granularity)
+ROW = 16  # packed floats per face row
 
 
-def _kernel(counts_ref, ids_ref, fv_ref, hard_ref, soft_ref,
+def _kernel(counts_ref, fvt_ref, hard_ref, soft_ref,
             *, cfg: RasterConfig, K: int, nt: int, T: int):
     ts = cfg.tile
     P = ts * ts
@@ -49,87 +51,98 @@ def _kernel(counts_ref, ids_ref, fv_ref, hard_ref, soft_ref,
     znear = jnp.float32(cfg.znear)
     inf = jnp.float32(3.4e38)
 
-    def tile_body(j, _):
+    def tile_body(j):
+        # j is a PYTHON int (static unroll): output stores index the sublane
+        # dimension, where dynamic indices are mislowered by Mosaic.
         t = tg * TC + j
         ou = (t % nt) * ts
         ov = (t // nt) * ts
         px = (ou + lane % ts).astype(jnp.float32) + 0.5
         py = (ov + lane // ts).astype(jnp.float32) + 0.5
+        n = jnp.minimum(counts_ref[b * T + t], fvt_ref.shape[3])
 
-        def face_body(i, state):
+        def group_body(g, state):
             zmin, hard, cnt, sd, sid = state
-            fid = ids_ref[0, 0, j, i]
-            fv = fv_ref[0, fid]  # (12,)
-            x0, y0, z0 = fv[0], fv[1], fv[2]
-            x1, y1, z1 = fv[3], fv[4], fv[5]
-            x2, y2, z2 = fv[6], fv[7], fv[8]
+            base = pl.multiple_of(g * FG, FG)
+            block = fvt_ref[0, 0, j, pl.ds(base, FG), :]  # (FG, ROW)
+            for r in range(FG):
+                fv = block[r]
+                live = (g * FG + r) < n
+                x0, y0, z0 = fv[0], fv[1], fv[2]
+                x1, y1, z1 = fv[3], fv[4], fv[5]
+                x2, y2, z2 = fv[6], fv[7], fv[8]
+                # The kernel tracks the bin-list SLOT, not the face id:
+                # reading ids from memory needs unsupported scalar extracts;
+                # XLA maps slots back to face ids afterwards.
+                fid = g * FG + r
 
-            area2 = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
-            w0 = (x1 - px) * (y2 - py) - (x2 - px) * (y1 - py)
-            w1 = (x2 - px) * (y0 - py) - (x0 - px) * (y2 - py)
-            w2 = (x0 - px) * (y1 - py) - (x1 - px) * (y0 - py)
-            denom = jnp.where(jnp.abs(area2) > 1e-10, area2,
-                              jnp.where(area2 >= 0, 1e-10, -1e-10))
-            b0, b1, b2 = w0 / denom, w1 / denom, w2 / denom
-            valid = (jnp.abs(area2) > 1e-10) & (z0 > znear) & (z1 > znear) & (z2 > znear)
-            inside = (b0 >= 0) & (b1 >= 0) & (b2 >= 0) & valid
+                area2 = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
+                w0 = (x1 - px) * (y2 - py) - (x2 - px) * (y1 - py)
+                w1 = (x2 - px) * (y0 - py) - (x0 - px) * (y2 - py)
+                w2 = (x0 - px) * (y1 - py) - (x1 - px) * (y0 - py)
+                denom = jnp.where(jnp.abs(area2) > 1e-10, area2,
+                                  jnp.where(area2 >= 0, 1e-10, -1e-10))
+                b0, b1, b2 = w0 / denom, w1 / denom, w2 / denom
+                valid = live & (jnp.abs(area2) > 1e-10) & (z0 > znear) \
+                    & (z1 > znear) & (z2 > znear)
+                inside = (b0 >= 0) & (b1 >= 0) & (b2 >= 0) & valid
 
-            def seg_d2(ax, ay, bx, by):
-                abx, aby = bx - ax, by - ay
-                apx, apy = px - ax, py - ay
-                dn = abx * abx + aby * aby + 1e-12
-                tt = jnp.clip((apx * abx + apy * aby) / dn, 0.0, 1.0)
-                dx = apx - tt * abx
-                dy = apy - tt * aby
-                return dx * dx + dy * dy
+                def seg_d2(ax, ay, bx, by):
+                    abx, aby = bx - ax, by - ay
+                    apx, apy = px - ax, py - ay
+                    dn = abx * abx + aby * aby + 1e-12
+                    tt = jnp.clip((apx * abx + apy * aby) / dn, 0.0, 1.0)
+                    dx = apx - tt * abx
+                    dy = apy - tt * aby
+                    return dx * dx + dy * dy
 
-            d2 = jnp.minimum(
-                jnp.minimum(seg_d2(x0, y0, x1, y1), seg_d2(x1, y1, x2, y2)),
-                seg_d2(x2, y2, x0, y0),
-            )
-            signed = jnp.where(inside, -d2, d2)
+                d2 = jnp.minimum(
+                    jnp.minimum(seg_d2(x0, y0, x1, y1), seg_d2(x1, y1, x2, y2)),
+                    seg_d2(x2, y2, x0, y0),
+                )
+                signed = jnp.where(inside, -d2, d2)
 
-            z = b0 * z0 + b1 * z1 + b2 * z2
-            zc = jnp.where(inside, z, inf)
-            better = zc < zmin
-            zmin = jnp.where(better, zc, zmin)
-            hard = jnp.where(better, fid, hard)
+                z = b0 * z0 + b1 * z1 + b2 * z2
+                zc = jnp.where(inside, z, inf)
+                better = zc < zmin
+                zmin = jnp.where(better, zc, zmin)
+                hard = jnp.where(better, fid, hard)
 
-            # First-K-in-order slot insertion (policy shared with the XLA
-            # path's slot compaction and the brute-force reference).
-            hit = valid & (signed <= blur_px2)
-            new_sd, new_sid = [], []
-            for k in range(K):
-                sel = hit & (cnt == k)
-                new_sd.append(jnp.where(sel, signed, sd[k]))
-                new_sid.append(jnp.where(sel, fid, sid[k]))
-            cnt = cnt + hit.astype(jnp.int32)
-            return zmin, hard, cnt, tuple(new_sd), tuple(new_sid)
+                # First-K-in-order slot insertion (policy shared with the
+                # XLA slot compaction and the brute-force reference).
+                hit = valid & (signed <= blur_px2)
+                new_sd, new_sid = [], []
+                for k in range(K):
+                    sel = hit & (cnt == k)
+                    new_sd.append(jnp.where(sel, signed, sd[k]))
+                    new_sid.append(jnp.where(sel, fid, sid[k]))
+                sd, sid = tuple(new_sd), tuple(new_sid)
+                cnt = cnt + hit.astype(jnp.int32)
+            return zmin, hard, cnt, sd, sid
 
         zmin0 = jnp.full((1, P), inf, jnp.float32)
         hard0 = jnp.full((1, P), -1, jnp.int32)
         cnt0 = jnp.zeros((1, P), jnp.int32)
         sd0 = tuple(jnp.full((1, P), inf, jnp.float32) for _ in range(K))
         sid0 = tuple(jnp.full((1, P), -1, jnp.int32) for _ in range(K))
-        n = counts_ref[b * T + t]
+        n_groups = (n + FG - 1) // FG
         zmin, hard, _, sd, sid = jax.lax.fori_loop(
-            0, n, face_body, (zmin0, hard0, cnt0, sd0, sid0)
+            0, n_groups, group_body, (zmin0, hard0, cnt0, sd0, sid0)
         )
         hard_ref[0, j] = hard[0]
         for k in range(K):
             soft_ref[0, j, k] = jnp.where(sd[k] < inf, sid[k], -1)[0]
-        return 0
 
-    jax.lax.fori_loop(0, TC, tile_body, 0)
+    for j in range(TC):
+        tile_body(j)
 
 
 def pallas_rasterize(verts_px, faces, cfg: RasterConfig, interpret: bool = False):
     """Fused soft+hard rasterization ids via the Pallas tile kernel.
 
-    Returns (soft_ids (B, H, W, K) int32 [UNORDERED within the slot list],
-    hard_ids (B, H, W) int32). Matches the XLA `rasterize` as a set per
-    pixel; slot order differs (irrelevant: coverage is a product).
-    interpret=True runs the kernel in the Pallas interpreter (CPU tests).
+    Returns (soft_ids (B, H, W, K) int32 — first K within-blur faces in
+    bin-list order, hard_ids (B, H, W) int32). Identical outputs to the XLA
+    `rasterize`. interpret=True runs in the Pallas interpreter (CPU tests).
     """
     if not isinstance(faces, jax.core.Tracer):
         faces = jnp.asarray(np.asarray(faces), jnp.int32)
@@ -146,22 +159,33 @@ def _pallas_rasterize_impl(verts_px, faces, cfg: RasterConfig, interpret: bool):
     T = nt * nt
     P = ts * ts
     assert T % TC == 0, f"tile count {T} must be a multiple of {TC}"
+    assert cfg.cap % FG == 0, f"cap {cfg.cap} must be a multiple of {FG}"
 
     fv = verts_px[:, faces]  # (B, F, 3, 3)
     tile_ids, counts = _bin_faces(fv, cfg)
     counts = jnp.minimum(counts, cfg.cap).astype(jnp.int32).reshape(-1)  # (B*T,)
-    fv12 = jnp.concatenate(
-        [fv.reshape(B, -1, 9), jnp.zeros((B, fv.shape[1], 3), verts_px.dtype)], -1
-    )  # pad rows to 12 floats
-    tile_ids = tile_ids.reshape(B, T // TC, TC, cfg.cap)
+
+    # Pre-gather packed per-tile face rows (9 vertex floats, padded).
+    fv_pack = jnp.concatenate(
+        [
+            fv.reshape(B, -1, 9),
+            jnp.zeros((B, fv.shape[1], ROW - 9), verts_px.dtype),
+        ],
+        -1,
+    )  # (B, F, ROW)
+    safe = jnp.maximum(tile_ids, 0).reshape(B, T * cfg.cap)  # (B, T*cap)
+    fvt = jnp.take_along_axis(fv_pack, safe[:, :, None], axis=1)
+    # Zero padding rows: zero vertices make the face degenerate (area == 0),
+    # so correctness never depends on the in-kernel count masking.
+    fvt = jnp.where((tile_ids >= 0).reshape(B, T * cfg.cap)[:, :, None], fvt, 0.0)
+    fvt = fvt.reshape(B, T // TC, TC, cfg.cap, ROW)
 
     kernel = partial(_kernel, cfg=cfg, K=K, nt=nt, T=T)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, T // TC),
         in_specs=[
-            pl.BlockSpec((1, 1, TC, cfg.cap), lambda b, t, c: (b, t, 0, 0)),
-            pl.BlockSpec((1, fv12.shape[1], 12), lambda b, t, c: (b, 0, 0)),
+            pl.BlockSpec((1, 1, TC, cfg.cap, ROW), lambda b, t, c: (b, t, 0, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, TC, P), lambda b, t, c: (b * (T // TC) + t, 0, 0)),
@@ -176,12 +200,27 @@ def _pallas_rasterize_impl(verts_px, faces, cfg: RasterConfig, interpret: bool):
             jax.ShapeDtypeStruct((B * (T // TC), TC, K, P), jnp.int32),
         ],
         interpret=interpret,
-    )(counts, tile_ids, fv12)
+    )(counts, fvt)
 
-    hard_ids = _untile(hard.reshape(B, T, P), cfg)
-    soft = jnp.moveaxis(soft.reshape(B, T, K, P), 2, 3)  # (B, T, P, K)
-    soft_ids = _untile(soft, cfg)
+    # Map slot indices back to face ids via the bin lists.
+    hard_slot = hard.reshape(B, T, P)
+    soft_slot = jnp.moveaxis(soft.reshape(B, T, K, P), 2, 3)  # (B, T, P, K)
+
+    # hard: (B, T, P) slots over per-tile lists of length cap
+    tid3 = jnp.broadcast_to(
+        tile_ids.reshape(B, T, 1, cfg.cap), (B, T, P, cfg.cap)
+    )
+    hard_ids_t = jnp.where(
+        hard_slot >= 0,
+        jnp.take_along_axis(tid3, jnp.maximum(hard_slot, 0)[..., None], -1)[..., 0],
+        -1,
+    )
+    soft_ids_t = jnp.where(
+        soft_slot >= 0,
+        jnp.take_along_axis(tid3, jnp.maximum(soft_slot, 0), -1),
+        -1,
+    )
+    hard_ids = _untile(hard_ids_t, cfg)
+    soft_ids = _untile(soft_ids_t, cfg)
     return soft_ids, hard_ids
-
-
 
