@@ -36,6 +36,9 @@ class HarpConfig:
     ambient_color: Tuple[float, float, float] = (0.5, 0.5, 0.5)
     diffuse_color: Tuple[float, float, float] = (0.4, 0.4, 0.4)
     specular_color: Tuple[float, float, float] = (0.1, 0.1, 0.1)
+    # Raster tile budget (1.0 = all tiles). Large-image hand fits can set
+    # ~0.5: the subject occupies a minority of tiles (overflow reported).
+    raster_active_fraction: float = 1.0
     shadow_bias: float = 0.008
     shadow_sharpness: float = 1000.0
     shadow_light_radius: float = 1.5
@@ -75,7 +78,10 @@ class HarpConfig:
     gt_mesh_dir: str = ""
 
     def raster_config(self, **overrides) -> RasterConfig:
-        kw = dict(image_size=self.img_size)
+        kw = dict(
+            image_size=self.img_size,
+            active_fraction=self.raster_active_fraction,
+        )
         kw.update(overrides)
         return RasterConfig(**kw)
 

@@ -45,10 +45,16 @@ class RasterConfig:
     faces_per_pixel: int = 8  # K for the soft id list
     tile: int = 16
     cap: int = 256  # max faces binned per tile
-    bin_chunk: int = 32  # tiles per binning chunk
-    tile_chunk: int = 4  # tiles per raster chunk
-    face_chunk: int = 64  # faces per inner accumulation step
+    bin_chunk: int = 128  # tiles per binning chunk
+    tile_chunk: int = 8  # tiles per raster chunk
+    face_chunk: int = 256  # faces per inner accumulation step (capped at cap)
     znear: float = 1e-6
+    # Fraction of tiles processed per frame (most-loaded first). The subject
+    # covers a minority of the image, so empty tiles are skipped wholesale;
+    # tiles beyond the budget that DO contain faces are reported in
+    # `active_overflow`. 1.0 (default) disables compaction; fitting configs
+    # set ~0.5 (HarpConfig.raster_active_fraction).
+    active_fraction: float = 1.0
     # "auto": Pallas kernel on TPU, XLA elsewhere; or force "pallas"/"xla".
     backend: str = "auto"
 
@@ -209,21 +215,30 @@ def _rasterize_ids(verts_px, faces, cfg: RasterConfig, need_soft: bool, need_har
     blur_px2 = cfg.blur_px2
     fv9 = fv.reshape(B, -1, 9)
 
-    tid_all = jnp.arange(T, dtype=jnp.int32)
-    tc_count = -(-T // cfg.tile_chunk)
-    tid_pad = jnp.concatenate([tid_all, jnp.zeros(tc_count * cfg.tile_chunk - T, jnp.int32)])
-    tile_chunks = tid_pad.reshape(tc_count, cfg.tile_chunk)
+    # Active-tile compaction: process only the A most-loaded tiles per frame.
+    Tc_sz = cfg.tile_chunk
+    while T % Tc_sz != 0:  # tile_chunk must divide the tile count
+        Tc_sz -= 1
+    if cfg.active_fraction >= 1.0:
+        A = T
+    else:
+        A = min(max(-(-int(T * cfg.active_fraction) // Tc_sz), 1) * Tc_sz, T)
+    _, act_idx = jax.lax.top_k(counts, A)  # (B, A), most-loaded first
+    act_idx = act_idx.astype(jnp.int32)
+    tc_count = A // Tc_sz
+    act_chunks = jnp.moveaxis(act_idx.reshape(B, tc_count, Tc_sz), 1, 0)
 
-    n_face_steps = -(-cfg.cap // cfg.face_chunk)
+    face_chunk = min(cfg.face_chunk, cfg.cap)
+    n_face_steps = -(-cfg.cap // face_chunk)
 
     def raster_chunk(tc):
-        # tc: (Tc,) tile indices
-        Tc = tc.shape[0]
-        ids_c = tile_ids[:, tc]  # (B, Tc, cap)
-        ou = ((tc % nt) * ts).astype(jnp.float32)  # (Tc,)
+        # tc: (B, Tc) per-frame tile indices
+        Tc = tc.shape[1]
+        ids_c = jnp.take_along_axis(tile_ids, tc[:, :, None], axis=1)  # (B, Tc, cap)
+        ou = ((tc % nt) * ts).astype(jnp.float32)  # (B, Tc)
         ov = ((tc // nt) * ts).astype(jnp.float32)
-        px = ou[None, :, None] + pu[None, None, :]  # (1, Tc, P)
-        py = ov[None, :, None] + pv[None, None, :]
+        px = ou[:, :, None] + pu[None, None, :]  # (B, Tc, P)
+        py = ov[:, :, None] + pv[None, None, :]
 
         soft_d0 = jnp.full((B, Tc, P, K), jnp.inf, jnp.float32)
         soft_id0 = jnp.full((B, Tc, P, K), -1, jnp.int32)
@@ -233,13 +248,13 @@ def _rasterize_ids(verts_px, faces, cfg: RasterConfig, need_soft: bool, need_har
 
         def step(i, state):
             soft_d, soft_id, base, hard_z, hard_id = state
-            sl = jax.lax.dynamic_slice_in_dim(ids_c, i * cfg.face_chunk, cfg.face_chunk, axis=2)
+            sl = jax.lax.dynamic_slice_in_dim(ids_c, i * face_chunk, face_chunk, axis=2)
             slot_valid = sl >= 0
             slc = jnp.maximum(sl, 0)
             # Gather face vertices: (B, Tc, fc, 3, 3)
             fvc = jnp.take_along_axis(
                 fv9[:, None], slc[..., None], axis=2
-            ).reshape(B, Tc, cfg.face_chunk, 3, 3)
+            ).reshape(B, Tc, face_chunk, 3, 3)
             g = face_pixel_geometry(
                 fvc[..., None, :, :],  # (B, Tc, fc, 1, 3, 3)
                 px[:, :, None, :],
@@ -290,16 +305,23 @@ def _rasterize_ids(verts_px, faces, cfg: RasterConfig, need_soft: bool, need_har
         soft_id = jnp.where(jnp.isinf(soft_d), -1, soft_id)
         return soft_id, hard_id
 
-    soft_ids, hard_ids = jax.lax.map(raster_chunk, tile_chunks)
-    # (tc_count, B, Tc, P, ...) -> (B, T, P, ...)
-    soft_ids = jnp.moveaxis(soft_ids, 1, 0).reshape(B, -1, P, K)[:, :T]
-    hard_ids = jnp.moveaxis(hard_ids, 1, 0).reshape(B, -1, P)[:, :T]
+    soft_ids, hard_ids = jax.lax.map(raster_chunk, act_chunks)
+    # (tc_count, B, Tc, P, ...) -> (B, A, P, ...) -> scatter into (B, T, P, ...)
+    soft_ids = jnp.moveaxis(soft_ids, 1, 0).reshape(B, A, P, K)
+    hard_ids = jnp.moveaxis(hard_ids, 1, 0).reshape(B, A, P)
+    brow = jnp.arange(B)[:, None]
     out = {}
     if need_soft:
-        out["soft_ids"] = _untile(soft_ids, cfg)
+        full_soft = jnp.full((B, T, P, K), -1, jnp.int32)
+        full_soft = full_soft.at[brow, act_idx].set(soft_ids)
+        out["soft_ids"] = _untile(full_soft, cfg)
     if need_hard:
-        out["hard_ids"] = _untile(hard_ids, cfg)
+        full_hard = jnp.full((B, T, P), -1, jnp.int32)
+        full_hard = full_hard.at[brow, act_idx].set(hard_ids)
+        out["hard_ids"] = _untile(full_hard, cfg)
     out["bin_overflow"] = (counts > cfg.cap).sum(axis=-1)
+    # Tiles with faces that did not fit the active budget (coverage loss).
+    out["active_overflow"] = jnp.maximum((counts > 0).sum(-1) - A, 0)
     return out
 
 

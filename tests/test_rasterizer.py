@@ -151,3 +151,26 @@ def test_batch_independent():
     hard = np.asarray(rasterize_hard(verts, faces, CFG))
     assert hard[0, 10, 10] == 0 and hard[1, 10, 10] == -1
     assert hard[1, 22, 22] == 0 and hard[0, 22, 22] == -1
+
+
+def test_active_tile_compaction_preserves_coverage():
+    """With the subject inside the tile budget, compaction output is
+    identical; overflow is reported when the budget is exceeded."""
+    import dataclasses
+    from harp_tpu.render.rasterizer import _rasterize_ids
+
+    # Small triangle: covers ~4 of 16 tiles.
+    verts = _tri([[10.0, 10.0], [22.0, 12.0], [12.0, 22.0]])
+    faces = np.array([[0, 1, 2]])
+    full = rasterize_hard(verts, faces, CFG)
+    half_cfg = dataclasses.replace(CFG, active_fraction=0.5)
+    half = rasterize_hard(verts, faces, half_cfg)
+    np.testing.assert_array_equal(np.asarray(half), np.asarray(full))
+
+    # Big triangle at a tiny budget: coverage drops, overflow flags it.
+    big = _tri([[2.0, 2.0], [30.0, 2.0], [2.0, 30.0]])
+    tiny_cfg = dataclasses.replace(CFG, active_fraction=0.25)
+    out = _rasterize_ids(
+        jnp.asarray(big), jnp.asarray(faces, jnp.int32), tiny_cfg, False, True
+    )
+    assert int(out["active_overflow"].max()) > 0
