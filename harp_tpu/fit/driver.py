@@ -63,17 +63,20 @@ def compute_losses(params, aux, fids, batch_imgs, batch_masks, batch_masks_er,
     verts, joints = pipeline.mesh_forward(params, fids, assets, config)
     R, T = pipeline.camera_for_frames(params, fids, config)
 
-    # One camera-view rasterization feeds both the silhouette (soft ids)
-    # and the color render (hard ids).
-    screen, soft_ids, hard_ids = pipeline.raster_camera_view(
+    # One camera-view rasterization feeds both the silhouette (soft ids +
+    # coverage sum) and the color render (hard ids).
+    screen, rout = pipeline.raster_camera_view(
         verts, assets, R, T, config, rcfg,
         need_soft=coarse_on, need_hard=app_on,
     )
+    hard_ids = rout.get("hard_ids")
 
     if coarse_on:
-        from harp_tpu.render.rasterizer import soft_alpha_from_ids
+        from harp_tpu.render.rasterizer import soft_alpha_fast
 
-        alpha = soft_alpha_from_ids(soft_ids, screen, assets.render_faces, rcfg)
+        alpha = soft_alpha_fast(
+            rout["soft_ids"], rout["soft_sum"], screen, assets.render_faces, rcfg
+        )
         losses["silhouette"] = silhouette_loss(alpha, batch_masks)
         if not config.known_appearance and config.model_type != "nimble":
             losses["kps_anchor"] = kps_anchor_loss(

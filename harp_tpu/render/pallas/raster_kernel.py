@@ -39,7 +39,7 @@ FG = 8  # faces per aligned group (sublane granularity)
 ROW = 16  # packed floats per face row
 
 
-def _kernel(counts_ref, fvt_ref, hard_ref, soft_ref,
+def _kernel(counts_ref, fvt_ref, hard_ref, soft_ref, ssum_ref,
             *, cfg: RasterConfig, K: int, nt: int, T: int):
     ts = cfg.tile
     P = ts * ts
@@ -50,6 +50,9 @@ def _kernel(counts_ref, fvt_ref, hard_ref, soft_ref,
     blur_px2 = jnp.float32(cfg.blur_px2)
     znear = jnp.float32(cfg.znear)
     inf = jnp.float32(3.4e38)
+    # px^2 -> NDC^2 factor for the coverage log-sum.
+    ndc2 = jnp.float32(cfg.ndc_scale**2)
+    inv_sigma = jnp.float32(1.0 / cfg.sigma)
 
     def tile_body(j):
         # j is a PYTHON int (static unroll): output stores index the sublane
@@ -62,7 +65,7 @@ def _kernel(counts_ref, fvt_ref, hard_ref, soft_ref,
         n = jnp.minimum(counts_ref[b * T + t], fvt_ref.shape[3])
 
         def group_body(g, state):
-            zmin, hard, cnt, sd, sid = state
+            zmin, hard, cnt, ssum, sd, sid = state
             base = pl.multiple_of(g * FG, FG)
             block = fvt_ref[0, 0, j, pl.ds(base, FG), :]  # (FG, ROW)
             for r in range(FG):
@@ -118,18 +121,23 @@ def _kernel(counts_ref, fvt_ref, hard_ref, soft_ref,
                     new_sid.append(jnp.where(sel, fid, sid[k]))
                 sd, sid = tuple(new_sd), tuple(new_sid)
                 cnt = cnt + hit.astype(jnp.int32)
-            return zmin, hard, cnt, sd, sid
+                # Coverage log-sum over ALL within-blur faces.
+                contrib = -jax.nn.softplus(-(signed * ndc2) * inv_sigma)
+                ssum = ssum + jnp.where(hit, contrib, 0.0)
+            return zmin, hard, cnt, ssum, sd, sid
 
         zmin0 = jnp.full((1, P), inf, jnp.float32)
         hard0 = jnp.full((1, P), -1, jnp.int32)
         cnt0 = jnp.zeros((1, P), jnp.int32)
+        ssum0 = jnp.zeros((1, P), jnp.float32)
         sd0 = tuple(jnp.full((1, P), inf, jnp.float32) for _ in range(K))
         sid0 = tuple(jnp.full((1, P), -1, jnp.int32) for _ in range(K))
         n_groups = (n + FG - 1) // FG
-        zmin, hard, _, sd, sid = jax.lax.fori_loop(
-            0, n_groups, group_body, (zmin0, hard0, cnt0, sd0, sid0)
+        zmin, hard, _, ssum, sd, sid = jax.lax.fori_loop(
+            0, n_groups, group_body, (zmin0, hard0, cnt0, ssum0, sd0, sid0)
         )
         hard_ref[0, j] = hard[0]
+        ssum_ref[0, j] = ssum[0]
         for k in range(K):
             soft_ref[0, j, k] = jnp.where(sd[k] < inf, sid[k], -1)[0]
 
@@ -141,8 +149,9 @@ def pallas_rasterize(verts_px, faces, cfg: RasterConfig, interpret: bool = False
     """Fused soft+hard rasterization ids via the Pallas tile kernel.
 
     Returns (soft_ids (B, H, W, K) int32 — first K within-blur faces in
-    bin-list order, hard_ids (B, H, W) int32). Identical outputs to the XLA
-    `rasterize`. interpret=True runs in the Pallas interpreter (CPU tests).
+    bin-list order, soft_sum (B, H, W) f32 coverage log-sum, hard_ids
+    (B, H, W) int32). Identical id outputs to the XLA `rasterize`.
+    interpret=True runs in the Pallas interpreter (CPU tests).
     """
     if not isinstance(faces, jax.core.Tracer):
         faces = jnp.asarray(np.asarray(faces), jnp.int32)
@@ -190,14 +199,16 @@ def _pallas_rasterize_impl(verts_px, faces, cfg: RasterConfig, interpret: bool):
         out_specs=[
             pl.BlockSpec((1, TC, P), lambda b, t, c: (b * (T // TC) + t, 0, 0)),
             pl.BlockSpec((1, TC, K, P), lambda b, t, c: (b * (T // TC) + t, 0, 0, 0)),
+            pl.BlockSpec((1, TC, P), lambda b, t, c: (b * (T // TC) + t, 0, 0)),
         ],
     )
-    hard, soft = pl.pallas_call(
+    hard, soft, ssum = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B * (T // TC), TC, P), jnp.int32),
             jax.ShapeDtypeStruct((B * (T // TC), TC, K, P), jnp.int32),
+            jax.ShapeDtypeStruct((B * (T // TC), TC, P), jnp.float32),
         ],
         interpret=interpret,
     )(counts, fvt)
@@ -222,5 +233,6 @@ def _pallas_rasterize_impl(verts_px, faces, cfg: RasterConfig, interpret: bool):
     )
     hard_ids = _untile(hard_ids_t, cfg)
     soft_ids = _untile(soft_ids_t, cfg)
-    return soft_ids, hard_ids
+    soft_sum = _untile(ssum.reshape(B, T, P), cfg)
+    return soft_ids, soft_sum, hard_ids
 

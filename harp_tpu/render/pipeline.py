@@ -21,7 +21,9 @@ from harp_tpu.render.rasterizer import (
     rasterize_soft,
     rasterize_hard,
     get_ids,
+    raster_full,
     soft_alpha_from_ids,
+    soft_alpha_fast,
     barycentrics_of,
 )
 from harp_tpu.render import shading
@@ -76,21 +78,25 @@ def camera_for_frames(params: dict, fids: jnp.ndarray, config: HarpConfig):
 
 def render_silhouette(verts, assets: AvatarAssets, R, T, config: HarpConfig,
                       raster_cfg: RasterConfig):
-    """Soft silhouette alpha (B, H, W) — SoftSilhouetteShader semantics."""
+    """Soft silhouette alpha (B, H, W) — SoftSilhouetteShader semantics.
+
+    Forward alpha comes from the raster pass's coverage log-sum; the
+    backward recomputes through the recorded ids (soft_alpha_fast)."""
     screen = cam_mod.screen_from_world(verts, R, T, config.focal_length, config.img_size)
-    ids, _ = get_ids(screen, assets.render_faces, raster_cfg, True, False)
-    return soft_alpha_from_ids(ids, screen, assets.render_faces, raster_cfg)
+    out = raster_full(screen, assets.render_faces, raster_cfg, True, False)
+    return soft_alpha_fast(
+        out["soft_ids"], out["soft_sum"], screen, assets.render_faces, raster_cfg
+    )
 
 
 def raster_camera_view(verts, assets: AvatarAssets, R, T, config: HarpConfig,
                        raster_cfg: RasterConfig, need_soft=True, need_hard=True):
     """Shared camera-view rasterization for silhouette + color renders:
-    one binning + one tile pass produces both id sets."""
+    one binning + one tile pass produces both id sets (+ coverage sum).
+    Returns (screen, raster_out_dict)."""
     screen = cam_mod.screen_from_world(verts, R, T, config.focal_length, config.img_size)
-    soft_ids, hard_ids = get_ids(
-        screen, assets.render_faces, raster_cfg, need_soft, need_hard
-    )
-    return screen, soft_ids, hard_ids
+    out = raster_full(screen, assets.render_faces, raster_cfg, need_soft, need_hard)
+    return screen, out
 
 
 def _shade_pixels(verts, ids, bary, mask, assets, R, T, config: HarpConfig,

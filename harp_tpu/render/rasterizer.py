@@ -243,11 +243,12 @@ def _rasterize_ids(verts_px, faces, cfg: RasterConfig, need_soft: bool, need_har
         soft_d0 = jnp.full((B, Tc, P, K), jnp.inf, jnp.float32)
         soft_id0 = jnp.full((B, Tc, P, K), -1, jnp.int32)
         base0 = jnp.zeros((B, Tc, P), jnp.int32)
+        ssum0 = jnp.zeros((B, Tc, P), jnp.float32)
         hard_z0 = jnp.full((B, Tc, P), jnp.inf, jnp.float32)
         hard_id0 = jnp.full((B, Tc, P), -1, jnp.int32)
 
         def step(i, state):
-            soft_d, soft_id, base, hard_z, hard_id = state
+            soft_d, soft_id, base, ssum, hard_z, hard_id = state
             sl = jax.lax.dynamic_slice_in_dim(ids_c, i * face_chunk, face_chunk, axis=2)
             slot_valid = sl >= 0
             slc = jnp.maximum(sl, 0)
@@ -287,6 +288,11 @@ def _rasterize_ids(verts_px, faces, cfg: RasterConfig, need_soft: bool, need_har
                 soft_d = jnp.stack(new_d, -1)
                 soft_id = jnp.stack(new_id, -1)
                 base = base + hit_p.sum(-1).astype(jnp.int32)
+                # Coverage log-sum over ALL within-blur faces (not just the
+                # K recorded): log(1-p) = -softplus(-d/sigma). Makes the
+                # silhouette alpha FORWARD free (no per-pixel re-gather).
+                contrib = -jax.nn.softplus(-g["signed_d_ndc2"] / cfg.sigma)
+                ssum = ssum + jnp.where(hit, contrib, 0.0).sum(axis=2)
             if need_hard:
                 cand_z = jnp.where(ok & g["inside"], g["z"], jnp.inf)  # (B,Tc,fc,P)
                 zmin = cand_z.min(axis=2)
@@ -297,17 +303,18 @@ def _rasterize_ids(verts_px, faces, cfg: RasterConfig, need_soft: bool, need_har
                 better = zmin < hard_z
                 hard_z = jnp.where(better, zmin, hard_z)
                 hard_id = jnp.where(better, zid.astype(jnp.int32), hard_id)
-            return soft_d, soft_id, base, hard_z, hard_id
+            return soft_d, soft_id, base, ssum, hard_z, hard_id
 
-        soft_d, soft_id, _, hard_z, hard_id = jax.lax.fori_loop(
-            0, n_face_steps, step, (soft_d0, soft_id0, base0, hard_z0, hard_id0)
+        soft_d, soft_id, _, ssum, hard_z, hard_id = jax.lax.fori_loop(
+            0, n_face_steps, step, (soft_d0, soft_id0, base0, ssum0, hard_z0, hard_id0)
         )
         soft_id = jnp.where(jnp.isinf(soft_d), -1, soft_id)
-        return soft_id, hard_id
+        return soft_id, ssum, hard_id
 
-    soft_ids, hard_ids = jax.lax.map(raster_chunk, act_chunks)
+    soft_ids, soft_sum, hard_ids = jax.lax.map(raster_chunk, act_chunks)
     # (tc_count, B, Tc, P, ...) -> (B, A, P, ...) -> scatter into (B, T, P, ...)
     soft_ids = jnp.moveaxis(soft_ids, 1, 0).reshape(B, A, P, K)
+    soft_sum = jnp.moveaxis(soft_sum, 1, 0).reshape(B, A, P)
     hard_ids = jnp.moveaxis(hard_ids, 1, 0).reshape(B, A, P)
     brow = jnp.arange(B)[:, None]
     out = {}
@@ -315,6 +322,9 @@ def _rasterize_ids(verts_px, faces, cfg: RasterConfig, need_soft: bool, need_har
         full_soft = jnp.full((B, T, P, K), -1, jnp.int32)
         full_soft = full_soft.at[brow, act_idx].set(soft_ids)
         out["soft_ids"] = _untile(full_soft, cfg)
+        full_sum = jnp.zeros((B, T, P), jnp.float32)
+        full_sum = full_sum.at[brow, act_idx].set(soft_sum)
+        out["soft_sum"] = _untile(full_sum, cfg)
     if need_hard:
         full_hard = jnp.full((B, T, P), -1, jnp.int32)
         full_hard = full_hard.at[brow, act_idx].set(hard_ids)
@@ -368,7 +378,7 @@ def get_ids(verts_px, faces, cfg: RasterConfig, need_soft: bool = True,
     if _use_pallas(cfg):
         from harp_tpu.render.pallas.raster_kernel import pallas_rasterize
 
-        soft, hard = pallas_rasterize(verts_px, faces, cfg)
+        soft, _, hard = pallas_rasterize(verts_px, faces, cfg)
         return (soft if need_soft else None), (hard if need_hard else None)
     faces = jnp.asarray(np.asarray(faces), jnp.int32)
     out = _rasterize_ids(
@@ -467,3 +477,48 @@ def rasterize_brute(verts_px, faces, cfg: RasterConfig):
     hard = jnp.argmin(zc, axis=1).astype(jnp.int32)
     hard_ids = jnp.where(jnp.isinf(zc.min(axis=1)), -1, hard)
     return soft_ids, hard_ids
+
+
+def raster_full(verts_px, faces, cfg: RasterConfig, need_soft: bool = True,
+                need_hard: bool = True):
+    """Like get_ids but also returns the coverage log-sum: a dict with
+    soft_ids, soft_sum, hard_ids (missing keys when not requested)."""
+    if _use_pallas(cfg):
+        from harp_tpu.render.pallas.raster_kernel import pallas_rasterize
+
+        soft, ssum, hard = pallas_rasterize(verts_px, faces, cfg)
+        out = {}
+        if need_soft:
+            out["soft_ids"], out["soft_sum"] = soft, ssum
+        if need_hard:
+            out["hard_ids"] = hard
+        return out
+    faces = jnp.asarray(np.asarray(faces), jnp.int32)
+    return _rasterize_ids(
+        jax.lax.stop_gradient(verts_px), faces, cfg, need_soft, need_hard
+    )
+
+
+def soft_alpha_fast(ids: jnp.ndarray, soft_sum: jnp.ndarray, verts_px: jnp.ndarray,
+                    faces, cfg: RasterConfig) -> jnp.ndarray:
+    """Silhouette alpha with the forward taken from the raster pass's
+    accumulated log-sum (free) and the backward recomputed from the K ids
+    (identical gradients to soft_alpha_from_ids — pixels with >K
+    within-blur contributors are saturated, where the gradient vanishes)."""
+    faces = jnp.asarray(np.asarray(faces), jnp.int32)
+    ids = jax.lax.stop_gradient(ids)
+    soft_sum = jax.lax.stop_gradient(soft_sum)
+
+    @jax.custom_vjp
+    def alpha(v):
+        return 1.0 - jnp.exp(soft_sum)
+
+    def fwd(v):
+        return alpha(v), v
+
+    def bwd(v, g):
+        _, vjp = jax.vjp(lambda vv: soft_alpha_from_ids(ids, vv, faces, cfg), v)
+        return vjp(g)
+
+    alpha.defvjp(fwd, bwd)
+    return alpha(verts_px)

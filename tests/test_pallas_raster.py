@@ -26,17 +26,23 @@ def _random_scene(seed=0, n=30, B=2):
 def test_pallas_matches_xla_random_scene():
     verts, faces = _random_scene()
     soft_x, hard_x = rasterize(verts, faces, CFG)
-    soft_p, hard_p = pallas_rasterize(verts, faces, CFG, interpret=True)
+    soft_p, ssum_p, hard_p = pallas_rasterize(verts, faces, CFG, interpret=True)
     np.testing.assert_array_equal(np.asarray(hard_p), np.asarray(hard_x))
     sp = np.sort(np.asarray(soft_p), -1)
     sx = np.sort(np.asarray(soft_x), -1)
     np.testing.assert_array_equal(sp, sx)
+    # Coverage log-sum matches the XLA accumulation.
+    from harp_tpu.render.rasterizer import _rasterize_ids
+    out = _rasterize_ids(verts, jnp.asarray(faces, jnp.int32), CFG, True, False)
+    np.testing.assert_allclose(
+        np.asarray(ssum_p), np.asarray(out["soft_sum"]), rtol=1e-5, atol=1e-6
+    )
 
 
 def test_pallas_single_triangle():
     v = np.array([[[4.0, 4.0, 1.0], [28.0, 6.0, 1.0], [8.0, 28.0, 1.0]]], np.float32)
     faces = np.array([[0, 1, 2]])
-    soft_p, hard_p = pallas_rasterize(jnp.asarray(v), faces, CFG, interpret=True)
+    soft_p, _, hard_p = pallas_rasterize(jnp.asarray(v), faces, CFG, interpret=True)
     soft_x, hard_x = rasterize(jnp.asarray(v), faces, CFG)
     np.testing.assert_array_equal(np.asarray(hard_p), np.asarray(hard_x))
     np.testing.assert_array_equal(
