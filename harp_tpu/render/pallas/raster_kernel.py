@@ -153,8 +153,9 @@ def pallas_rasterize(verts_px, faces, cfg: RasterConfig, interpret: bool = False
     (B, H, W) int32). Identical id outputs to the XLA `rasterize`.
     interpret=True runs in the Pallas interpreter (CPU tests).
     """
-    if not isinstance(faces, jax.core.Tracer):
-        faces = jnp.asarray(np.asarray(faces), jnp.int32)
+    from harp_tpu.render.rasterizer import as_faces_array
+
+    faces = as_faces_array(faces)
     return _pallas_rasterize_impl(verts_px, faces, cfg, interpret)
 
 

@@ -35,6 +35,15 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def as_faces_array(faces) -> jnp.ndarray:
+    """Tracer-safe conversion of a face array to int32 jnp. Plain numpy and
+    lists go through np.asarray; traced/device arrays are cast directly
+    (custom_vjp backward passes re-trace with closed-over faces as tracers)."""
+    if isinstance(faces, (jax.core.Tracer, jax.Array)):
+        return faces.astype(jnp.int32)
+    return jnp.asarray(np.asarray(faces), jnp.int32)
+
+
 @dataclasses.dataclass(frozen=True)
 class RasterConfig:
     image_size: int = 448
@@ -338,21 +347,21 @@ def _rasterize_ids(verts_px, faces, cfg: RasterConfig, need_soft: bool, need_har
 def rasterize_soft(verts_px, faces, cfg: RasterConfig):
     """-> (B, H, W, K) int32: first K faces (bin-list order) within the blur
     radius per pixel; -1 for empty slots."""
-    faces = jnp.asarray(np.asarray(faces), jnp.int32)
+    faces = as_faces_array(faces)
     out = _rasterize_ids(jax.lax.stop_gradient(verts_px), faces, cfg, True, False)
     return out["soft_ids"]
 
 
 def rasterize_hard(verts_px, faces, cfg: RasterConfig):
     """-> (B, H, W) int32 id of nearest covering face, -1 for background."""
-    faces = jnp.asarray(np.asarray(faces), jnp.int32)
+    faces = as_faces_array(faces)
     out = _rasterize_ids(jax.lax.stop_gradient(verts_px), faces, cfg, False, True)
     return out["hard_ids"]
 
 
 def rasterize(verts_px, faces, cfg: RasterConfig):
     """Both soft id lists and hard ids in one shared pass."""
-    faces = jnp.asarray(np.asarray(faces), jnp.int32)
+    faces = as_faces_array(faces)
     out = _rasterize_ids(jax.lax.stop_gradient(verts_px), faces, cfg, True, True)
     return out["soft_ids"], out["hard_ids"]
 
@@ -380,7 +389,7 @@ def get_ids(verts_px, faces, cfg: RasterConfig, need_soft: bool = True,
 
         soft, _, hard = pallas_rasterize(verts_px, faces, cfg)
         return (soft if need_soft else None), (hard if need_hard else None)
-    faces = jnp.asarray(np.asarray(faces), jnp.int32)
+    faces = as_faces_array(faces)
     out = _rasterize_ids(
         jax.lax.stop_gradient(verts_px), faces, cfg, need_soft, need_hard
     )
@@ -408,7 +417,7 @@ def soft_alpha_from_ids(ids: jnp.ndarray, verts_px: jnp.ndarray, faces, cfg: Ras
     through the signed distances of the listed faces (SoftSilhouetteShader +
     softmax blend alpha semantics, pytorch3d blending).
     """
-    faces = jnp.asarray(np.asarray(faces), jnp.int32)
+    faces = as_faces_array(faces)
     B = verts_px.shape[0]
     fv9 = verts_px[:, faces].reshape(B, -1, 9)
     px, py = _pixel_centers(cfg)
@@ -433,7 +442,7 @@ def soft_alpha_from_ids(ids: jnp.ndarray, verts_px: jnp.ndarray, faces, cfg: Ras
 
 def barycentrics_of(ids: jnp.ndarray, verts_px: jnp.ndarray, faces, cfg: RasterConfig):
     """Differentiable (bary (B,H,W,3), z (B,H,W), mask (B,H,W)) for hard ids."""
-    faces = jnp.asarray(np.asarray(faces), jnp.int32)
+    faces = as_faces_array(faces)
     B = verts_px.shape[0]
     fv9 = verts_px[:, faces].reshape(B, -1, 9)
     safe = jnp.maximum(ids, 0)
@@ -454,7 +463,7 @@ def barycentrics_of(ids: jnp.ndarray, verts_px: jnp.ndarray, faces, cfg: RasterC
 def rasterize_brute(verts_px, faces, cfg: RasterConfig):
     """All-pairs reference rasterizer for small images. Returns same outputs
     as `rasterize` (soft ids sorted by distance, hard ids by depth)."""
-    faces = jnp.asarray(np.asarray(faces), jnp.int32)
+    faces = as_faces_array(faces)
     B = verts_px.shape[0]
     fv = jax.lax.stop_gradient(verts_px)[:, faces]  # (B, F, 3, 3)
     px, py = _pixel_centers(cfg)
@@ -493,7 +502,7 @@ def raster_full(verts_px, faces, cfg: RasterConfig, need_soft: bool = True,
         if need_hard:
             out["hard_ids"] = hard
         return out
-    faces = jnp.asarray(np.asarray(faces), jnp.int32)
+    faces = as_faces_array(faces)
     return _rasterize_ids(
         jax.lax.stop_gradient(verts_px), faces, cfg, need_soft, need_hard
     )
@@ -505,7 +514,7 @@ def soft_alpha_fast(ids: jnp.ndarray, soft_sum: jnp.ndarray, verts_px: jnp.ndarr
     accumulated log-sum (free) and the backward recomputed from the K ids
     (identical gradients to soft_alpha_from_ids — pixels with >K
     within-blur contributors are saturated, where the gradient vanishes)."""
-    faces = jnp.asarray(np.asarray(faces), jnp.int32)
+    faces = as_faces_array(faces)
     ids = jax.lax.stop_gradient(ids)
     soft_sum = jax.lax.stop_gradient(soft_sum)
 

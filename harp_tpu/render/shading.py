@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from harp_tpu.ops.numerics import safe_normalize
+from harp_tpu.render.rasterizer import as_faces_array
 
 
 def sample_texture_bilinear(tex: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
@@ -61,7 +62,7 @@ def interpolate_face_vertex_attrs(
     attrs: (B, V, C); faces: (F, 3); ids: (B, H, W) face ids (clipped at 0 for
     background, mask separately); bary: (B, H, W, 3). Returns (B, H, W, C).
     """
-    faces = jnp.asarray(np.asarray(faces), jnp.int32)
+    faces = as_faces_array(faces)
     B, V, C = attrs.shape
     fattr = attrs[:, faces]  # (B, F, 3, C)
     safe = jnp.maximum(ids, 0)
@@ -78,8 +79,8 @@ def interpolate_packed_attrs(verts, normals_v, faces, verts_uvs, faces_uvs,
     Packs per-face-vertex attributes (B, F, 3, 8) = [pos3, nrm3, uv2] and
     gathers once per pixel, instead of three separate gathers.
     """
-    faces = jnp.asarray(np.asarray(faces), jnp.int32)
-    faces_uvs = jnp.asarray(np.asarray(faces_uvs), jnp.int32)
+    faces = as_faces_array(faces)
+    faces_uvs = as_faces_array(faces_uvs)
     verts_uvs = jnp.asarray(verts_uvs)
     B = verts.shape[0]
     fuv = jnp.broadcast_to(verts_uvs[faces_uvs][None], (B,) + verts_uvs[faces_uvs].shape)
@@ -96,7 +97,7 @@ def interpolate_packed_attrs(verts, normals_v, faces, verts_uvs, faces_uvs,
 def pixel_uvs(ids: jnp.ndarray, bary: jnp.ndarray, verts_uvs, faces_uvs) -> jnp.ndarray:
     """Wedge-UV interpolation: (B, H, W, 2) uv coordinates at pixels."""
     verts_uvs = jnp.asarray(verts_uvs)
-    faces_uvs = jnp.asarray(np.asarray(faces_uvs), jnp.int32)
+    faces_uvs = as_faces_array(faces_uvs)
     fuv = verts_uvs[faces_uvs]  # (F, 3, 2)
     safe = jnp.maximum(ids, 0)
     g = fuv.reshape(-1, 6)[safe].reshape(ids.shape + (3, 2))
