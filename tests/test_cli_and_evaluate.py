@@ -89,3 +89,43 @@ def test_cli_synthetic_smoke(tmp_path):
     assert "Silhouette IoU" in summary
     assert os.path.exists(tmp_path / "saved_params.pkl")
     assert os.path.exists(tmp_path / "config.yaml")
+
+
+def test_known_appearance_transfer(tmp_path):
+    """Test-mode flow: fit appearance on sequence A, freeze it, fit only
+    pose/cam/lights on sequence B (reference known_appearance path)."""
+    import dataclasses
+    from harp_tpu.fit import fit_sequence
+    from harp_tpu.fit.optimizer import group_param_names
+
+    config_a = HarpConfig(
+        img_size=64, focal_length=285.0, texture_size=64, self_shadow=False,
+        total_epoch=2, training_stage=(1, 1, 0), batch_size=2, w_vgg=0.0,
+        base_output_dir=str(tmp_path),
+    )
+    images, masks, masks_er, gt, init = make_synthetic_sequence(
+        ASSETS, config_a, RCFG, n_frames=2, seed=5
+    )
+    data = FitData(images=images, masks=masks, masks_eroded=masks_er)
+    params, aux = init_params(init, ASSETS, config_a)
+    params, _ = fit_sequence(config_a, ASSETS, data, params, aux, rcfg=RCFG)
+    save_result(params, str(tmp_path))
+
+    # New sequence with known appearance.
+    config_b = dataclasses.replace(config_a, known_appearance=True)
+    groups = group_param_names(config_b)
+    assert "texture" not in groups["app"] and "shape" not in groups["coarse"]
+    images2, masks2, masks_er2, gt2, init2 = make_synthetic_sequence(
+        ASSETS, config_b, RCFG, n_frames=2, seed=6
+    )
+    from harp_tpu.fit.resume import prepare_resume_params
+
+    params_b = prepare_resume_params(str(tmp_path), init2, config_b)
+    data2 = FitData(images=images2, masks=masks2, masks_eroded=masks_er2)
+    _, aux2 = init_params(init2, ASSETS, config_b)
+    tex_before = np.asarray(params_b["texture"]).copy()
+    params_b, hist = fit_sequence(config_b, ASSETS, data2, params_b, aux2, rcfg=RCFG)
+    # Appearance frozen, pose optimized, test-suffix save works.
+    np.testing.assert_array_equal(np.asarray(params_b["texture"]), tex_before)
+    save_result(params_b, str(tmp_path), test=True)
+    assert os.path.exists(tmp_path / "saved_params_test.pkl")
