@@ -42,6 +42,7 @@ def parse_args():
     p.add_argument("--metro-output-dir", default="")
     p.add_argument("--image-dir", default="")
     p.add_argument("--train-list", nargs="*", default=["1"])
+    p.add_argument("--val-list", nargs="*", default=[])
     p.add_argument("--use-smooth-seq", action="store_true", default=True)
     p.add_argument("--mano-pkl", default="", help="MANO_RIGHT.pkl path")
     p.add_argument("--smplx-npz", default="", help="SMPLX_NEUTRAL.npz path")
@@ -155,6 +156,17 @@ def main():
         )
         images, masks, masks_er = map(jnp.asarray, (images, masks, masks_er))
     data = FitData(images=images, masks=masks, masks_eroded=masks_er)
+    val = None
+    if args.val_list and not args.synthetic:
+        from harp_tpu.data.dataset import load_sequences as _ls
+
+        v_params, v_img, v_mask, v_er = _ls(
+            config.metro_output_dir, config.image_dir, args.val_list,
+            use_smooth_seq=args.use_smooth_seq,
+        )
+        val = (v_params, FitData(images=jnp.asarray(v_img),
+                                 masks=jnp.asarray(v_mask),
+                                 masks_eroded=jnp.asarray(v_er)))
 
     # --- params ---
     params, aux = init_params(input_params, assets, config)
@@ -172,6 +184,23 @@ def main():
             config, assets, data, params, aux, rcfg=rcfg,
             turntables=args.turntables,
         )
+        if val is not None:
+            # Validation sequences: optimized shared appearance + their own
+            # preprocessing pose/cam (reference visualize_val semantics).
+            v_input, v_data = val
+            v_fit = dict(params)
+            for k in ("pose", "rot", "trans", "cam"):
+                v_fit[k] = jnp.asarray(v_input[k], jnp.float32)
+            n_val = v_fit["pose"].shape[0]
+            v_fit["wrist_pose"] = jnp.zeros((n_val, 3), jnp.float32)
+            v_fit["light_positions"] = jnp.broadcast_to(
+                params["light_positions"][0], (n_val, 3)
+            )
+            val_stats = evaluate_sequence(
+                config, assets, v_data, v_fit, aux, rcfg=rcfg,
+                out_dir=os.path.join(config.base_output_dir, "val"),
+            )
+            stats.update({f"val {k}": v for k, v in val_stats.items()})
     stats["fit_wall_s"] = round(t_fit.elapsed, 2)
     stats["eval_wall_s"] = round(t_eval.elapsed, 2)
     stats["final_loss"] = history[-1]["loss"] if history else None
