@@ -40,6 +40,9 @@ class HarpConfig:
     # ~0.5: the subject occupies a minority of tiles (overflow reported).
     raster_active_fraction: float = 1.0
     shadow_bias: float = 0.008
+    # Light-view depth-map resolution relative to the image (1.0 = the
+    # reference's full-res shadow pass; 0.5 quarters the light raster).
+    shadow_map_scale: float = 1.0
     shadow_sharpness: float = 1000.0
     shadow_light_radius: float = 1.5
 

@@ -15,6 +15,8 @@ get_shadow_renderers/process_info_for_shadow (:416-468):
 
 from __future__ import annotations
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 
@@ -73,10 +75,17 @@ def render_rgb_with_shadow(
     faces = assets.render_faces
     H = config.img_size
 
-    # Pass 1: depth from the light.
-    screen_l = cam_mod.screen_from_world(verts, light_R, light_T, config.focal_length, H)
-    _, ids_l = get_ids(screen_l, faces, raster_cfg, False, True)
-    _, z_l, mask_l = barycentrics_of(ids_l, screen_l, faces, raster_cfg)
+    # Pass 1: depth from the light, optionally at reduced resolution
+    # (scaling focal length and image size together scales screen
+    # coordinates uniformly).
+    s = config.shadow_map_scale
+    Hl = int(round(H * s))
+    focal_l = config.focal_length * s
+    rcfg_l = (raster_cfg if Hl == H else
+              dataclasses.replace(raster_cfg, image_size=Hl))
+    screen_l = cam_mod.screen_from_world(verts, light_R, light_T, focal_l, Hl)
+    _, ids_l = get_ids(screen_l, faces, rcfg_l, False, True)
+    _, z_l, mask_l = barycentrics_of(ids_l, screen_l, faces, rcfg_l)
     # pytorch3d zbuf convention: -1 where no face.
     depth_light = jnp.where(mask_l, z_l, -1.0)
 
@@ -94,19 +103,19 @@ def render_rgb_with_shadow(
     pts_flat = points.reshape(B, -1, 3)
     view_l = cam_mod.world_to_view(pts_flat, light_R, light_T)
     depth_from_light = view_l[..., 2].reshape(B, H, H)
-    screen_pts = cam_mod.view_to_screen(view_l, config.focal_length, H)
+    screen_pts = cam_mod.view_to_screen(view_l, focal_l, Hl)
     x = jnp.round(screen_pts[..., 0]).astype(jnp.int32).reshape(B, H, H)
     y = jnp.round(screen_pts[..., 1]).astype(jnp.int32).reshape(B, H, H)
 
-    # 3x3 PCF (renderer_helper.py:391-408).
+    # 3x3 PCF (renderer_helper.py:391-408), taps in light-map pixels.
     a = depth_from_light - config.shadow_bias
     vis = jnp.zeros((B, H, H), verts.dtype)
     for di in (-1, 0, 1):
         for dj in (-1, 0, 1):
-            yy = jnp.clip(y + di, 0, H - 1)
-            xx = jnp.clip(x + dj, 0, H - 1)
+            yy = jnp.clip(y + di, 0, Hl - 1)
+            xx = jnp.clip(x + dj, 0, Hl - 1)
             b = jnp.take_along_axis(
-                depth_light.reshape(B, -1), (yy * H + xx).reshape(B, -1), axis=1
+                depth_light.reshape(B, -1), (yy * Hl + xx).reshape(B, -1), axis=1
             ).reshape(B, H, H)
             vis = vis + jax.nn.sigmoid((b - a) * config.shadow_sharpness)
     vis = vis / 9.0

@@ -174,3 +174,20 @@ def test_shadow_darkens_occluded_region():
     assert shadowed < lit - 0.2, (shadowed, lit)
     # Occluder itself is lit (nearly facing the light).
     assert img[32, 32].mean() > lit - 0.1
+
+
+def test_shadow_half_res_map_close_to_full():
+    """shadow_map_scale=0.5 renders nearly the same image (depth-map
+    resolution only affects PCF sampling granularity)."""
+    import dataclasses
+
+    params = make_params()
+    fids = jnp.asarray([0])
+    verts, _ = pipeline.mesh_forward(params, fids, ASSETS, CONFIG)
+    args = (params["cam"][fids], params["light_positions"][fids],
+            params["amb_ratio"], params["texture"], params["normal_map"])
+    full = np.asarray(render_rgb_with_shadow(verts, ASSETS, CONFIG, RCFG, *args))
+    half_cfg = dataclasses.replace(CONFIG, shadow_map_scale=0.5)
+    half = np.asarray(render_rgb_with_shadow(verts, ASSETS, half_cfg, RCFG, *args))
+    # Mean difference small; only shadow-edge pixels may differ.
+    assert np.abs(full - half).mean() < 0.02
