@@ -48,6 +48,8 @@ def parse_args():
     p.add_argument("--smplx-npz", default="", help="SMPLX_NEUTRAL.npz path")
     p.add_argument("--arm-corr", default="template/arm/smplx_arm_corr.pkl")
     p.add_argument("--turntables", action="store_true")
+    p.add_argument("--active-tiles", type=float, default=1.0,
+                   help="raster tile budget fraction (0.5 for hand fits)")
     p.add_argument("--debug-nans", action="store_true")
     return p.parse_args()
 
@@ -81,6 +83,7 @@ def main():
         self_shadow=not args.no_shadow,
         w_vgg=0.0 if args.no_vgg else 1.0,
         known_appearance=args.known_appearance,
+        raster_active_fraction=args.active_tiles,
         start_from=args.start_from,
         base_output_dir=args.out,
         metro_output_dir=args.metro_output_dir,

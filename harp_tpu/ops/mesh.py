@@ -215,3 +215,30 @@ def edge_lengths(verts: jnp.ndarray, topology: MeshTopology) -> jnp.ndarray:
     e = jnp.asarray(topology.edges)
     d = jnp.take(verts, e[:, 0], axis=-2) - jnp.take(verts, e[:, 1], axis=-2)
     return safe_norm(d, axis=-1)
+
+
+def taubin_smoothing(verts: jnp.ndarray, topology: MeshTopology,
+                     lam: float = 0.53, mu: float = -0.53,
+                     num_iter: int = 10) -> jnp.ndarray:
+    """Taubin lambda/mu mesh smoothing (pytorch3d taubin_smoothing defaults;
+    used by the reference's mesh export, optimize_sequence.py:780).
+
+    Alternating positive/negative uniform-Laplacian steps smooth without
+    shrinkage. verts: (..., V, 3).
+    """
+    nbr = jnp.asarray(topology.neighbors)
+    mask = jnp.asarray(topology.neighbor_mask, dtype=verts.dtype)
+    deg = jnp.maximum(mask.sum(-1, keepdims=True), 1.0)
+
+    def lap(v):
+        gathered = jnp.take(v, nbr, axis=-2)
+        mean_nbr = (gathered * mask[..., None]).sum(-2) / deg
+        return mean_nbr - v
+
+    def step(v, _):
+        v = v + lam * lap(v)
+        v = v + mu * lap(v)
+        return v, None
+
+    out, _ = jax.lax.scan(step, verts, None, length=num_iter)
+    return out

@@ -126,3 +126,21 @@ def test_subdivision_matches_harp_arm_template():
     coarse_pos = obj_verts[perm[:num_coarse]]
     out = np.asarray(M.apply_subdivision(sub, jnp.asarray(coarse_pos)))
     np.testing.assert_allclose(out[num_coarse:], obj_verts[perm[num_coarse:]], atol=1e-4)
+
+
+def test_taubin_smoothing_reduces_roughness():
+    from harp_tpu.ops.mesh import taubin_smoothing
+    rng = np.random.RandomState(0)
+    # Noisy sphere-ish: icosphere stand-in = synthetic hand palm component.
+    from harp_tpu.assets import build_synthetic_hand
+    m = build_synthetic_hand()
+    topo = M.build_topology(m.faces, m.num_verts)
+    noisy = m.v_template + 0.002 * rng.randn(*m.v_template.shape).astype(np.float32)
+    smoothed = taubin_smoothing(jnp.asarray(noisy), topo)
+    rough = lambda v: float(M.laplacian_smoothing_loss(jnp.asarray(v), topo))
+    # Smoothing removes most of the noise-induced roughness (the template
+    # itself carries baseline curvature).
+    base = rough(m.v_template)
+    assert rough(smoothed) - base < (rough(noisy) - base) * 0.5
+    # No catastrophic shrinkage.
+    assert np.abs(np.asarray(smoothed) - m.v_template).max() < 0.02
