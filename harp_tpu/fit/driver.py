@@ -59,25 +59,35 @@ def compute_losses(params, aux, fids, batch_imgs, batch_masks, batch_masks_er,
                    vgg: Vgg16Features | None, ref_verts, key,
                    coarse_on: bool, app_on: bool):
     """All fitting losses for one minibatch. Returns (total, breakdown)."""
+    from harp_tpu.render.rasterizer import (
+        soft_alpha_fast_at, tile_pixel_coords, gather_tiles, scatter_tiles,
+    )
+
     losses = {}
     verts, joints = pipeline.mesh_forward(params, fids, assets, config)
     R, T = pipeline.camera_for_frames(params, fids, config)
 
-    # One camera-view rasterization feeds both the silhouette (soft ids +
-    # coverage sum) and the color render (hard ids).
-    screen, rout = pipeline.raster_camera_view(
+    # Compact active-tile path: one camera rasterization; ALL differentiable
+    # per-pixel work on (B, A, P) arrays; losses add closed-form background
+    # terms for the inactive (background-by-construction) tiles.
+    screen, rout = pipeline.raster_camera_view_compact(
         verts, assets, R, T, config, rcfg,
         need_soft=coarse_on, need_hard=app_on,
     )
-    hard_ids = rout.get("hard_ids")
+    act_idx = rout["act_idx"]
+    px, py = tile_pixel_coords(act_idx, rcfg)
+    n_px = batch_masks.size
 
     if coarse_on:
-        from harp_tpu.render.rasterizer import soft_alpha_fast
-
-        alpha = soft_alpha_fast(
-            rout["soft_ids"], rout["soft_sum"], screen, assets.render_faces, rcfg
+        alpha_c = soft_alpha_fast_at(
+            rout["soft_ids"], rout["soft_sum"], screen, assets.render_faces,
+            rcfg, px, py,
         )
-        losses["silhouette"] = silhouette_loss(alpha, batch_masks)
+        m_c = gather_tiles(batch_masks, act_idx, rcfg)
+        # mean |alpha - m| over the full image; inactive tiles: alpha = 0.
+        losses["silhouette"] = (
+            jnp.abs(alpha_c - m_c).sum() + batch_masks.sum() - m_c.sum()
+        ) / n_px
         if not config.known_appearance and config.model_type != "nimble":
             losses["kps_anchor"] = kps_anchor_loss(
                 aux["init_joints"][fids], joints, use_arm=config.use_arm
@@ -89,23 +99,43 @@ def compute_losses(params, aux, fids, batch_imgs, batch_masks, batch_masks_er,
             losses["arap"] = arap_loss(verts, ref_verts, assets.sub_topology)
 
     if app_on:
+        from harp_tpu.render.shadow import shadow_visibility_compact
+
         if config.share_light_position:
             light = jnp.broadcast_to(params["light_positions"][0], (fids.shape[0], 3))
         else:
             light = params["light_positions"][fids]
         if config.self_shadow:
-            rgb = render_rgb_with_shadow(
+            vis, light_R, light_T, cam_R, cam_T = shadow_visibility_compact(
                 verts, assets, config, rcfg, params["cam"][fids], light,
-                params["amb_ratio"], params["texture"], params["normal_map"],
-                camera_raster=(screen, hard_ids),
+                screen, rout,
+            )
+            amb = jax.nn.sigmoid(params["amb_ratio"])
+            rgb_c, mask_c = pipeline.shade_pixels_compact(
+                verts, screen, rout, assets, R, T, config, rcfg,
+                params["texture"], params["normal_map"], light,
+                jnp.stack([amb] * 3), 1.0 - jnp.stack([amb] * 3),
+                jnp.zeros(3, verts.dtype), vis_map=vis,
             )
         else:
-            rgb = pipeline.render_rgb(
-                verts, assets, R, T, config, rcfg, params["texture"],
-                params["normal_map"], light, precomputed=(screen, hard_ids),
+            rgb_c, mask_c = pipeline.shade_pixels_compact(
+                verts, screen, rout, assets, R, T, config, rcfg,
+                params["texture"], params["normal_map"], light,
+                config.ambient_color, config.diffuse_color,
+                config.specular_color,
             )
-        losses["photo"] = photometric_loss(rgb, batch_imgs, batch_masks_er)
+        # Masked photometric L1 with the closed-form background term for
+        # inactive tiles (pred == background there).
+        bg = jnp.asarray(config.background_color, rgb_c.dtype)
+        gt_c = gather_tiles(batch_imgs, act_idx, rcfg)
+        me_c = gather_tiles(batch_masks_er, act_idx, rcfg)[..., None]
+        me_full = batch_masks_er[..., None]
+        full_bg_term = jnp.abs((bg - batch_imgs) * me_full).sum()
+        comp_bg_term = jnp.abs((bg - gt_c) * me_c).sum()
+        comp_term = jnp.abs((rgb_c - gt_c) * me_c).sum()
+        losses["photo"] = (comp_term + full_bg_term - comp_bg_term) / (n_px * 3)
         if vgg is not None:
+            rgb = scatter_tiles(rgb_c, act_idx, rcfg, bg)
             m = batch_masks_er[..., None]
             losses["vgg"] = vgg_feature_l1(vgg, rgb * m, batch_imgs * m)
         if config.model_type not in ("nimble", "html"):

@@ -184,3 +184,66 @@ def render_normal(verts, assets: AvatarAssets, R, T, config: HarpConfig,
     flipped = pixel_normals * jnp.asarray([1.0, -1.0, -1.0])
     colors = (flipped + 1.0) / 2.0
     return shading.composite_hard(colors, mask, config.background_color)
+
+
+# ---------------------------------------------------------------------------
+# Compact (active-tile) render path: all differentiable per-pixel work on
+# (B, A, P) arrays. Exact: inactive tiles are background by construction
+# (losses add closed-form background terms; see fit/driver.py).
+# ---------------------------------------------------------------------------
+
+
+def raster_camera_view_compact(verts, assets: AvatarAssets, R, T,
+                               config: HarpConfig, raster_cfg: RasterConfig,
+                               need_soft=True, need_hard=True):
+    from harp_tpu.render.rasterizer import _rasterize_ids_compact, as_faces_array
+
+    screen = cam_mod.screen_from_world(verts, R, T, config.focal_length, config.img_size)
+    out = _rasterize_ids_compact(
+        jax.lax.stop_gradient(screen), as_faces_array(assets.render_faces),
+        raster_cfg, need_soft, need_hard,
+    )
+    return screen, out
+
+
+def shade_pixels_compact(verts, screen, rout, assets: AvatarAssets, R, T,
+                         config: HarpConfig, raster_cfg: RasterConfig,
+                         texture, normal_map, light_positions,
+                         ambient_color, diffuse_color, specular_color,
+                         vis_map=None):
+    """Phong shading on compact tiles -> (colors (B, A, P, 3), mask)."""
+    from harp_tpu.render.rasterizer import tile_pixel_coords, barycentrics_of_at
+
+    faces = assets.render_faces
+    px, py = tile_pixel_coords(rout["act_idx"], raster_cfg)
+    ids = rout["hard_ids"]
+    bary, _, mask = barycentrics_of_at(ids, screen, faces, raster_cfg, px, py)
+
+    normals_v = vertex_normals(verts, faces)
+    attrs = shading.interpolate_packed_attrs(
+        verts, normals_v, faces, assets.verts_uvs, assets.faces_uvs, ids, bary
+    )
+    points = attrs[..., 0:3]
+    pixel_normals = attrs[..., 3:6]
+    uv = attrs[..., 6:8]
+    if normal_map is not None:
+        packed_tex = jnp.concatenate(
+            [texture, shading.safe_normalize(normal_map)], axis=-1
+        )
+        sampled = shading.sample_texture_bilinear(packed_tex, uv)
+        texels = sampled[..., 0:3]
+        pixel_normals = shading.apply_normal_map(pixel_normals, sampled[..., 3:6])
+    else:
+        texels = shading.sample_texture_bilinear(texture, uv)
+
+    cam_center = cam_mod.camera_center(R, T)
+    amb, diff, spec = shading.phong_lighting(
+        points, pixel_normals, light_positions, cam_center,
+        ambient_color, diffuse_color, specular_color, shininess=0.0,
+    )
+    if vis_map is not None:
+        colors = (amb + diff * vis_map[..., None]) * texels + spec
+    else:
+        colors = (amb + diff) * texels + spec
+    bg = jnp.asarray(config.background_color, colors.dtype)
+    return jnp.where(mask[..., None], colors, bg), mask

@@ -531,3 +531,159 @@ def soft_alpha_fast(ids: jnp.ndarray, soft_sum: jnp.ndarray, verts_px: jnp.ndarr
 
     alpha.defvjp(fwd, bwd)
     return alpha(verts_px)
+
+
+# ---------------------------------------------------------------------------
+# Compact (active-tile) interface: differentiable per-pixel work on
+# (B, A, P) arrays instead of (B, H, W) — the subject covers a minority of
+# tiles, so shading/coverage recompute and their backward gathers shrink by
+# the active fraction. Exact: inactive tiles are background by construction.
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("cfg", "need_soft", "need_hard"))
+def _rasterize_ids_compact(verts_px, faces, cfg: RasterConfig, need_soft: bool,
+                           need_hard: bool):
+    """Same tile pass as _rasterize_ids but WITHOUT the scatter back to the
+    full image: returns compact per-active-tile arrays + the tile indices."""
+    out = {}
+    full = _rasterize_ids.__wrapped__(verts_px, faces, cfg, need_soft, need_hard)
+    # _rasterize_ids already computes compact arrays internally; rather than
+    # duplicating its body, re-derive compactness by gathering its full
+    # outputs at the active tiles. The gather is tile-granular (cheap).
+    # NOTE: act_idx must be recomputed identically (deterministic top_k).
+    fv = jax.lax.stop_gradient(verts_px)[:, faces]
+    _, counts = _bin_faces(fv, cfg)
+    ts = cfg.tile
+    nt = cfg.image_size // ts
+    T = nt * nt
+    Tc_sz = cfg.tile_chunk
+    while T % Tc_sz != 0:
+        Tc_sz -= 1
+    if cfg.active_fraction >= 1.0:
+        A = T
+    else:
+        A = min(max(-(-int(T * cfg.active_fraction) // Tc_sz), 1) * Tc_sz, T)
+    _, act_idx = jax.lax.top_k(counts, A)
+    act_idx = act_idx.astype(jnp.int32)
+    out["act_idx"] = act_idx
+    B = verts_px.shape[0]
+    brow = jnp.arange(B)[:, None]
+
+    def tilize(img_full, trailing_dims):
+        x = _retile(img_full, cfg)  # (B, T, P, ...)
+        return x[brow, act_idx]
+
+    if need_soft:
+        out["soft_ids"] = tilize(full["soft_ids"], 1)
+        out["soft_sum"] = tilize(full["soft_sum"], 0)
+    if need_hard:
+        out["hard_ids"] = tilize(full["hard_ids"], 0)
+    out["bin_overflow"] = full["bin_overflow"]
+    out["active_overflow"] = full["active_overflow"]
+    return out
+
+
+def _retile(x: jnp.ndarray, cfg: RasterConfig):
+    """(B, H, W, ...) -> (B, T, P, ...): inverse of _untile."""
+    ts = cfg.tile
+    nt = cfg.image_size // ts
+    trailing = x.shape[3:]
+    x = x.reshape((x.shape[0], nt, ts, nt, ts) + trailing)
+    x = jnp.moveaxis(x, 2, 3)  # (B, nt, nt, ts, ts, ...)
+    return x.reshape((x.shape[0], nt * nt, ts * ts) + trailing)
+
+
+def tile_pixel_coords(act_idx: jnp.ndarray, cfg: RasterConfig):
+    """Pixel-center coordinates for compact tiles: (B, A, P) px / py."""
+    ts = cfg.tile
+    nt = cfg.image_size // ts
+    j = jnp.arange(ts * ts, dtype=jnp.float32)
+    pu = (j % ts) + 0.5
+    pv = (j // ts) + 0.5
+    ou = ((act_idx % nt) * ts).astype(jnp.float32)
+    ov = ((act_idx // nt) * ts).astype(jnp.float32)
+    return ou[..., None] + pu[None, None], ov[..., None] + pv[None, None]
+
+
+def gather_tiles(img: jnp.ndarray, act_idx: jnp.ndarray, cfg: RasterConfig):
+    """Full image (B, H, W, ...) -> compact (B, A, P, ...)."""
+    x = _retile(img, cfg)
+    return x[jnp.arange(x.shape[0])[:, None], act_idx]
+
+
+def scatter_tiles(x: jnp.ndarray, act_idx: jnp.ndarray, cfg: RasterConfig, fill):
+    """Compact (B, A, P, ...) -> full image (B, H, W, ...), `fill` elsewhere
+    (fill may be a scalar or an array broadcastable to the trailing dims)."""
+    ts = cfg.tile
+    nt = cfg.image_size // ts
+    T = nt * nt
+    B, A, P = x.shape[:3]
+    shape = (B, T, P) + x.shape[3:]
+    full = jnp.broadcast_to(jnp.asarray(fill, x.dtype), shape)
+    full = full.at[jnp.arange(B)[:, None], act_idx].set(x)
+    return _untile(full, cfg)
+
+
+def soft_alpha_from_ids_at(ids: jnp.ndarray, verts_px: jnp.ndarray, faces,
+                           cfg: RasterConfig, px: jnp.ndarray, py: jnp.ndarray):
+    """soft_alpha_from_ids generalized to arbitrary pixel coordinates
+    (compact tile layout): ids (B, A, P, K), px/py (B, A, P)."""
+    faces = as_faces_array(faces)
+    B = verts_px.shape[0]
+    fv9 = verts_px[:, faces].reshape(B, -1, 9)
+    K = ids.shape[-1]
+
+    def body(k, acc):
+        fid = ids[..., k]
+        safe = jnp.maximum(fid, 0)
+        fvk = jnp.take_along_axis(
+            fv9, safe.reshape(B, -1, 1), axis=1
+        ).reshape(fid.shape + (3, 3))
+        g = face_pixel_geometry(fvk, px, py, cfg)
+        d = g["signed_d_ndc2"]
+        ok = (fid >= 0) & g["valid"] & (d <= cfg.blur_radius)
+        contrib = -jax.nn.softplus(-d / cfg.sigma)
+        return acc + jnp.where(ok, contrib, 0.0)
+
+    log_one_minus = jax.lax.fori_loop(0, K, body, jnp.zeros(ids.shape[:-1], verts_px.dtype))
+    return 1.0 - jnp.exp(log_one_minus)
+
+
+def soft_alpha_fast_at(ids, soft_sum, verts_px, faces, cfg: RasterConfig,
+                       px, py):
+    """Compact-layout soft_alpha_fast: free forward from the raster's
+    coverage sum, ids-recompute backward."""
+    faces = as_faces_array(faces)
+    ids = jax.lax.stop_gradient(ids)
+    soft_sum = jax.lax.stop_gradient(soft_sum)
+
+    @jax.custom_vjp
+    def alpha(v):
+        return 1.0 - jnp.exp(soft_sum)
+
+    def fwd(v):
+        return alpha(v), v
+
+    def bwd(v, g):
+        _, vjp = jax.vjp(
+            lambda vv: soft_alpha_from_ids_at(ids, vv, faces, cfg, px, py), v
+        )
+        return vjp(g)
+
+    alpha.defvjp(fwd, bwd)
+    return alpha(verts_px)
+
+
+def barycentrics_of_at(ids: jnp.ndarray, verts_px: jnp.ndarray, faces,
+                       cfg: RasterConfig, px: jnp.ndarray, py: jnp.ndarray):
+    """barycentrics_of generalized to compact tile layout: ids (B, A, P)."""
+    faces = as_faces_array(faces)
+    B = verts_px.shape[0]
+    fv9 = verts_px[:, faces].reshape(B, -1, 9)
+    safe = jnp.maximum(ids, 0)
+    fvk = jnp.take_along_axis(fv9, safe.reshape(B, -1, 1), axis=1).reshape(
+        ids.shape + (3, 3)
+    )
+    g = face_pixel_geometry(fvk, px, py, cfg)
+    return g["bary"], g["z"], ids >= 0

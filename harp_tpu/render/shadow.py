@@ -130,3 +130,71 @@ def render_rgb_with_shadow(
         normal_map, light_positions, ambient_color, diffuse_color,
         jnp.zeros(3, verts.dtype), vis_map=vis,
     )
+
+
+def shadow_visibility_compact(verts, assets: AvatarAssets, config: HarpConfig,
+                              raster_cfg: RasterConfig, cam, light_positions,
+                              screen_c, rout):
+    """Shadow PCF visibility for compact camera tiles -> vis (B, A, P).
+
+    Light depth pass rasterizes compactly in the light view, scatters the
+    depth map to a full image (fill -1, pytorch3d's empty-zbuf convention),
+    then gathers the 3x3 PCF taps only for the camera's active pixels.
+    Returns (vis, light_R, light_T, cam_R, cam_T).
+    """
+    from harp_tpu.render.rasterizer import (
+        _rasterize_ids_compact, as_faces_array, tile_pixel_coords,
+        barycentrics_of_at, scatter_tiles,
+    )
+
+    faces = as_faces_array(assets.render_faces)
+    hand_center = verts.mean(axis=1)
+    light_R, light_T, cam_R, cam_T = shadow_cameras(
+        cam, light_positions, hand_center, config
+    )
+    H = config.img_size
+    s = config.shadow_map_scale
+    Hl = int(round(H * s))
+    focal_l = config.focal_length * s
+    rcfg_l = (raster_cfg if Hl == H else
+              dataclasses.replace(raster_cfg, image_size=Hl))
+
+    # Light pass (compact) -> full depth map.
+    screen_l = cam_mod.screen_from_world(verts, light_R, light_T, focal_l, Hl)
+    lout = _rasterize_ids_compact(
+        jax.lax.stop_gradient(screen_l), faces, rcfg_l, False, True
+    )
+    lpx, lpy = tile_pixel_coords(lout["act_idx"], rcfg_l)
+    _, z_l, mask_l = barycentrics_of_at(lout["hard_ids"], screen_l, faces,
+                                        rcfg_l, lpx, lpy)
+    depth_c = jnp.where(mask_l, z_l, -1.0)
+    depth_light = scatter_tiles(depth_c, lout["act_idx"], rcfg_l, -1.0)
+
+    # Camera hit points (compact) -> light view -> PCF.
+    px, py = tile_pixel_coords(rout["act_idx"], raster_cfg)
+    bary_c, _, _ = barycentrics_of_at(rout["hard_ids"], screen_c, faces,
+                                      raster_cfg, px, py)
+    from harp_tpu.render import shading as _shading
+
+    points = _shading.interpolate_face_vertex_attrs(
+        verts, faces, rout["hard_ids"], bary_c
+    )
+    B, A, P = rout["hard_ids"].shape
+    view_l = cam_mod.world_to_view(points.reshape(B, -1, 3), light_R, light_T)
+    depth_from_light = view_l[..., 2].reshape(B, A, P)
+    spts = cam_mod.view_to_screen(view_l, focal_l, Hl)
+    x = jnp.round(spts[..., 0]).astype(jnp.int32).reshape(B, A, P)
+    y = jnp.round(spts[..., 1]).astype(jnp.int32).reshape(B, A, P)
+
+    a = depth_from_light - config.shadow_bias
+    vis = jnp.zeros((B, A, P), verts.dtype)
+    flat = depth_light.reshape(B, -1)
+    for di in (-1, 0, 1):
+        for dj in (-1, 0, 1):
+            yy = jnp.clip(y + di, 0, Hl - 1)
+            xx = jnp.clip(x + dj, 0, Hl - 1)
+            b = jnp.take_along_axis(
+                flat, (yy * Hl + xx).reshape(B, -1), axis=1
+            ).reshape(B, A, P)
+            vis = vis + jax.nn.sigmoid((b - a) * config.shadow_sharpness)
+    return vis / 9.0, light_R, light_T, cam_R, cam_T
