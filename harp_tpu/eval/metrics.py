@@ -199,3 +199,21 @@ class EvalUtil:
             np.mean(pck_curves, 0),
             thresholds,
         )
+
+
+def procrustes_joint_error(gt_joints_mm: np.ndarray, pred_joints_mm: np.ndarray,
+                           valid=None) -> float:
+    """Mean Procrustes-aligned joint error in mm for one frame
+    (eval_util.eval_procrustes semantics: root-align, drop invalid joints,
+    similarity-align, mean euclidean error)."""
+    gt = np.asarray(gt_joints_mm)
+    pred = np.asarray(pred_joints_mm)
+    gt = gt - gt[0:1]
+    pred = pred - pred[0:1]
+    if valid is not None:
+        v = np.asarray(valid).astype(bool)
+        gt, pred = gt[v], pred[v]
+    if len(gt) == 0:
+        return float("nan")
+    aligned = align_w_scale(gt, pred)
+    return float(np.linalg.norm(gt - aligned, axis=1).mean())

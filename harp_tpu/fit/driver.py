@@ -57,8 +57,12 @@ class FitData:
 def compute_losses(params, aux, fids, batch_imgs, batch_masks, batch_masks_er,
                    assets: AvatarAssets, config: HarpConfig, rcfg: RasterConfig,
                    vgg: Vgg16Features | None, ref_verts, key,
-                   coarse_on: bool, app_on: bool):
-    """All fitting losses for one minibatch. Returns (total, breakdown)."""
+                   coarse_on: bool, app_on: bool, extras: dict | None = None):
+    """All fitting losses for one minibatch. Returns (total, breakdown).
+
+    extras: model-family statics, e.g. {"texture_basis": TextureBasis} for
+    model_type='html' (the UV texture is mean + basis @ html_texture coeffs
+    instead of a free texel grid)."""
     from harp_tpu.render.rasterizer import (
         soft_alpha_fast_at, tile_pixel_coords, gather_tiles, scatter_tiles,
     )
@@ -101,6 +105,11 @@ def compute_losses(params, aux, fids, batch_imgs, batch_masks, batch_masks_er,
     if app_on:
         from harp_tpu.render.shadow import shadow_visibility_compact
 
+        if config.model_type == "html" and extras and "texture_basis" in extras:
+            texture = extras["texture_basis"].texture(params["html_texture"])
+        else:
+            texture = params["texture"]
+
         if config.share_light_position:
             light = jnp.broadcast_to(params["light_positions"][0], (fids.shape[0], 3))
         else:
@@ -113,14 +122,14 @@ def compute_losses(params, aux, fids, batch_imgs, batch_masks, batch_masks_er,
             amb = jax.nn.sigmoid(params["amb_ratio"])
             rgb_c, mask_c = pipeline.shade_pixels_compact(
                 verts, screen, rout, assets, R, T, config, rcfg,
-                params["texture"], params["normal_map"], light,
+                texture, params["normal_map"], light,
                 jnp.stack([amb] * 3), 1.0 - jnp.stack([amb] * 3),
                 jnp.zeros(3, verts.dtype), vis_map=vis,
             )
         else:
             rgb_c, mask_c = pipeline.shade_pixels_compact(
                 verts, screen, rout, assets, R, T, config, rcfg,
-                params["texture"], params["normal_map"], light,
+                texture, params["normal_map"], light,
                 config.ambient_color, config.diffuse_color,
                 config.specular_color,
             )
@@ -166,7 +175,8 @@ def compute_losses(params, aux, fids, batch_imgs, batch_masks, batch_masks_er,
 
 
 def make_train_step(assets: AvatarAssets, config: HarpConfig, rcfg: RasterConfig,
-                    vgg: Vgg16Features | None, txs, masks):
+                    vgg: Vgg16Features | None, txs, masks,
+                    extras: dict | None = None):
     """Build the jitted train step for given (static) stage flags."""
 
     @partial(jax.jit, static_argnames=("coarse_on", "app_on"), donate_argnums=(0, 1))
@@ -176,7 +186,7 @@ def make_train_step(assets: AvatarAssets, config: HarpConfig, rcfg: RasterConfig
         (total, breakdown), grads = jax.value_and_grad(
             lambda p: compute_losses(
                 p, aux, fids, batch_imgs, batch_masks, batch_masks_er, assets,
-                config, rcfg, vgg, ref_verts, key, coarse_on, app_on,
+                config, rcfg, vgg, ref_verts, key, coarse_on, app_on, extras,
             ),
             has_aux=True,
         )(params)
@@ -212,7 +222,7 @@ def fit_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
                  vgg: Vgg16Features | None = None, seed: int = 0,
                  log_every: int = 10, callback=None,
                  out_dir: str | None = None, image_log_every: int = 0,
-                 checkpoint_every: int = 200):
+                 checkpoint_every: int = 200, extras: dict | None = None):
     """Run the staged optimization. Returns (params, history).
 
     out_dir enables observability (the reference's TensorBoard scalars +
@@ -226,7 +236,7 @@ def fit_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
     if vgg is None and config.w_vgg > 0:
         vgg = Vgg16Features.create()
     txs, opt_states, masks = build_optimizers(params, config)
-    train_step = make_train_step(assets, config, rcfg, vgg, txs, masks)
+    train_step = make_train_step(assets, config, rcfg, vgg, txs, masks, extras)
 
     logger = None
     if out_dir is not None:

@@ -38,7 +38,10 @@ def group_param_names(config: HarpConfig):
 
     app = ["light_positions", "amb_ratio"]
     if not config.known_appearance:
-        app += ["texture", "normal_map"]
+        if config.model_type == "html":
+            app += ["html_texture"]  # linear basis coeffs, not free texels
+        else:
+            app += ["texture", "normal_map"]
     return {"coarse": coarse, "app": app}
 
 

@@ -48,6 +48,9 @@ def init_params(input_params: dict, assets: AvatarAssets, config: HarpConfig):
         ).astype(f32),
         "amb_ratio": jnp.asarray(0.4, f32),  # pre-sigmoid; ~0.6 ambient
     }
+    if config.model_type == "html":
+        # HTML appearance: 101 linear texture-basis coefficients.
+        params["html_texture"] = jnp.zeros((101,), f32)
     aux = {
         "init_joints": jnp.asarray(input_params["joints"], f32),
         "uv_mask": jnp.asarray(

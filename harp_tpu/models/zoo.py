@@ -79,7 +79,7 @@ def load_hand_model(config: HarpConfig, *, synthetic: bool = False,
                 uv_size=config.texture_size, subdivide=False
             )
             extras["texture_basis"] = synthetic_texture_basis(
-                size=config.texture_size
+                size=config.texture_size, num_coeffs=101
             )
         else:
             model = load_mano_model(mano_pkl, flat_hand_mean=False)
