@@ -12,7 +12,6 @@ weights, UVs) used by the test-suite and benchmarks.
 from __future__ import annotations
 
 import dataclasses
-import io
 import pickle
 
 import numpy as np

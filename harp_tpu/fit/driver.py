@@ -14,7 +14,6 @@ Architecture differences from the reference (deliberate, TPU-first):
 from __future__ import annotations
 
 import dataclasses
-import time
 from functools import partial
 
 import jax
@@ -25,8 +24,6 @@ import optax
 from harp_tpu.assets import AvatarAssets
 from harp_tpu.config import HarpConfig
 from harp_tpu.losses import (
-    silhouette_loss,
-    photometric_loss,
     kps_anchor_loss,
     vert_disp_reg,
     arap_loss,
@@ -38,7 +35,6 @@ from harp_tpu.losses import (
 from harp_tpu.ops.mesh import laplacian_smoothing_loss, normal_consistency_loss
 from harp_tpu.render import pipeline
 from harp_tpu.render.rasterizer import RasterConfig
-from harp_tpu.render.shadow import render_rgb_with_shadow
 
 
 @dataclasses.dataclass

@@ -17,8 +17,6 @@ from __future__ import annotations
 
 import dataclasses
 
-import jax
-import jax.numpy as jnp
 import optax
 
 from harp_tpu.config import HarpConfig

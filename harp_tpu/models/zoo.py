@@ -12,8 +12,6 @@ procedural stand-ins used by tests and benchmarks.
 
 from __future__ import annotations
 
-import os
-
 import numpy as np
 
 from harp_tpu.assets import (

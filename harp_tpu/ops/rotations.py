@@ -14,7 +14,6 @@ All functions are batched over leading axes and differentiable.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 

@@ -11,8 +11,6 @@ the whole frame batch is fit simultaneously. Early stopping is carried as a
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from harp_tpu.assets import AvatarAssets
 from harp_tpu.config import HarpConfig
@@ -18,11 +17,8 @@ from harp_tpu.ops.mesh import apply_subdivision, vertex_normals
 from harp_tpu.render import camera as cam_mod
 from harp_tpu.render.rasterizer import (
     RasterConfig,
-    rasterize_soft,
-    rasterize_hard,
     get_ids,
     raster_full,
-    soft_alpha_from_ids,
     soft_alpha_fast,
     barycentrics_of,
 )

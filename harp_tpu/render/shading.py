@@ -21,7 +21,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from harp_tpu.ops.numerics import safe_normalize
 from harp_tpu.render.rasterizer import as_faces_array

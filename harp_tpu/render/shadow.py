@@ -22,12 +22,10 @@ import jax.numpy as jnp
 
 from harp_tpu.assets import AvatarAssets
 from harp_tpu.config import HarpConfig
-from harp_tpu.ops.mesh import vertex_normals
 from harp_tpu.ops.numerics import safe_norm
 from harp_tpu.render import camera as cam_mod
 from harp_tpu.render.rasterizer import (
     RasterConfig,
-    rasterize_hard,
     barycentrics_of,
 )
 from harp_tpu.render import shading

@@ -16,7 +16,6 @@ import jax.numpy as jnp
 from PIL import Image
 
 from harp_tpu.render import pipeline
-from harp_tpu.render.camera import OPENCV_TO_P3D_R
 from harp_tpu.ops.rotations import axis_angle_to_matrix
 
 
