@@ -38,8 +38,8 @@ FG = 8  # faces per aligned group (sublane granularity)
 ROW = 16  # packed floats per face row
 
 
-def _kernel(counts_ref, fvt_ref, hard_ref, soft_ref, ssum_ref,
-            *, cfg: RasterConfig, K: int, nt: int, T: int):
+def _kernel(counts_ref, act_ref, fvt_ref, hard_ref, soft_ref, ssum_ref,
+            *, cfg: RasterConfig, K: int, nt: int, A: int):
     ts = cfg.tile
     P = ts * ts
     b = pl.program_id(0)
@@ -56,12 +56,13 @@ def _kernel(counts_ref, fvt_ref, hard_ref, soft_ref, ssum_ref,
     def tile_body(j):
         # j is a PYTHON int (static unroll): output stores index the sublane
         # dimension, where dynamic indices are mislowered by Mosaic.
-        t = tg * TC + j
+        slot = tg * TC + j          # position in the ACTIVE tile list
+        t = act_ref[b * A + slot]   # actual tile index in the image
         ou = (t % nt) * ts
         ov = (t // nt) * ts
         px = (ou + lane % ts).astype(jnp.float32) + 0.5
         py = (ov + lane // ts).astype(jnp.float32) + 0.5
-        n = jnp.minimum(counts_ref[b * T + t], fvt_ref.shape[3])
+        n = jnp.minimum(counts_ref[b * A + slot], fvt_ref.shape[3])
 
         def group_body(g, state):
             zmin, hard, cnt, ssum, sd, sid = state
@@ -172,7 +173,20 @@ def _pallas_rasterize_impl(verts_px, faces, cfg: RasterConfig, interpret: bool):
 
     fv = verts_px[:, faces]  # (B, F, 3, 3)
     tile_ids, counts = _bin_faces(fv, cfg)
-    counts = jnp.minimum(counts, cfg.cap).astype(jnp.int32).reshape(-1)  # (B*T,)
+
+    # Active-tile compaction (same budget rule as the XLA path, rounded to
+    # the program granularity): pre-gather and rasterize only the A
+    # most-loaded tiles.
+    if cfg.active_fraction >= 1.0:
+        A = T
+    else:
+        A = min(max(-(-int(T * cfg.active_fraction) // TC), 1) * TC, T)
+    _, act_idx = jax.lax.top_k(counts, A)  # (B, A)
+    act_idx = act_idx.astype(jnp.int32)
+    brow = jnp.arange(B)[:, None]
+    tile_ids_a = jnp.take_along_axis(tile_ids, act_idx[:, :, None], axis=1)
+    counts_a = jnp.take_along_axis(counts, act_idx, axis=1)
+    counts_a = jnp.minimum(counts_a, cfg.cap).astype(jnp.int32).reshape(-1)
 
     # Pre-gather packed per-tile face rows (9 vertex floats, padded).
     fv_pack = jnp.concatenate(
@@ -182,57 +196,61 @@ def _pallas_rasterize_impl(verts_px, faces, cfg: RasterConfig, interpret: bool):
         ],
         -1,
     )  # (B, F, ROW)
-    safe = jnp.maximum(tile_ids, 0).reshape(B, T * cfg.cap)  # (B, T*cap)
+    safe = jnp.maximum(tile_ids_a, 0).reshape(B, A * cfg.cap)
     fvt = jnp.take_along_axis(fv_pack, safe[:, :, None], axis=1)
     # Zero padding rows: zero vertices make the face degenerate (area == 0),
     # so correctness never depends on the in-kernel count masking.
-    fvt = jnp.where((tile_ids >= 0).reshape(B, T * cfg.cap)[:, :, None], fvt, 0.0)
-    fvt = fvt.reshape(B, T // TC, TC, cfg.cap, ROW)
+    fvt = jnp.where((tile_ids_a >= 0).reshape(B, A * cfg.cap)[:, :, None], fvt, 0.0)
+    fvt = fvt.reshape(B, A // TC, TC, cfg.cap, ROW)
 
-    kernel = partial(_kernel, cfg=cfg, K=K, nt=nt, T=T)
+    kernel = partial(_kernel, cfg=cfg, K=K, nt=nt, A=A)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(B, T // TC),
+        num_scalar_prefetch=2,
+        grid=(B, A // TC),
         in_specs=[
-            pl.BlockSpec((1, 1, TC, cfg.cap, ROW), lambda b, t, c: (b, t, 0, 0, 0)),
+            pl.BlockSpec((1, 1, TC, cfg.cap, ROW), lambda b, t, c, a: (b, t, 0, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, TC, P), lambda b, t, c: (b * (T // TC) + t, 0, 0)),
-            pl.BlockSpec((1, TC, K, P), lambda b, t, c: (b * (T // TC) + t, 0, 0, 0)),
-            pl.BlockSpec((1, TC, P), lambda b, t, c: (b * (T // TC) + t, 0, 0)),
+            pl.BlockSpec((1, TC, P), lambda b, t, c, a: (b * (A // TC) + t, 0, 0)),
+            pl.BlockSpec((1, TC, K, P), lambda b, t, c, a: (b * (A // TC) + t, 0, 0, 0)),
+            pl.BlockSpec((1, TC, P), lambda b, t, c, a: (b * (A // TC) + t, 0, 0)),
         ],
     )
     hard, soft, ssum = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((B * (T // TC), TC, P), jnp.int32),
-            jax.ShapeDtypeStruct((B * (T // TC), TC, K, P), jnp.int32),
-            jax.ShapeDtypeStruct((B * (T // TC), TC, P), jnp.float32),
+            jax.ShapeDtypeStruct((B * (A // TC), TC, P), jnp.int32),
+            jax.ShapeDtypeStruct((B * (A // TC), TC, K, P), jnp.int32),
+            jax.ShapeDtypeStruct((B * (A // TC), TC, P), jnp.float32),
         ],
         interpret=interpret,
-    )(counts, fvt)
+    )(counts_a, act_idx.reshape(-1), fvt)
 
-    # Map slot indices back to face ids via the bin lists.
-    hard_slot = hard.reshape(B, T, P)
-    soft_slot = jnp.moveaxis(soft.reshape(B, T, K, P), 2, 3)  # (B, T, P, K)
-
-    # hard: (B, T, P) slots over per-tile lists of length cap
+    # Map slot indices back to face ids via the ACTIVE bin lists, then
+    # scatter compact tiles into the full image.
+    hard_slot = hard.reshape(B, A, P)
+    soft_slot = jnp.moveaxis(soft.reshape(B, A, K, P), 2, 3)  # (B, A, P, K)
     tid3 = jnp.broadcast_to(
-        tile_ids.reshape(B, T, 1, cfg.cap), (B, T, P, cfg.cap)
+        tile_ids_a.reshape(B, A, 1, cfg.cap), (B, A, P, cfg.cap)
     )
-    hard_ids_t = jnp.where(
+    hard_ids_a = jnp.where(
         hard_slot >= 0,
         jnp.take_along_axis(tid3, jnp.maximum(hard_slot, 0)[..., None], -1)[..., 0],
         -1,
     )
-    soft_ids_t = jnp.where(
+    soft_ids_a = jnp.where(
         soft_slot >= 0,
         jnp.take_along_axis(tid3, jnp.maximum(soft_slot, 0), -1),
         -1,
     )
-    hard_ids = _untile(hard_ids_t, cfg)
-    soft_ids = _untile(soft_ids_t, cfg)
-    soft_sum = _untile(ssum.reshape(B, T, P), cfg)
+
+    def scatter(x, fill, trailing=()):
+        full = jnp.full((B, T, P) + trailing, fill, x.dtype)
+        return _untile(full.at[brow, act_idx].set(x), cfg)
+
+    hard_ids = scatter(hard_ids_a, -1)
+    soft_ids = scatter(soft_ids_a, -1, (K,))
+    soft_sum = scatter(ssum.reshape(B, A, P).astype(jnp.float32), 0.0)
     return soft_ids, soft_sum, hard_ids
 

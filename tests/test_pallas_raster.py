@@ -48,3 +48,18 @@ def test_pallas_single_triangle():
     np.testing.assert_array_equal(
         np.sort(np.asarray(soft_p), -1), np.sort(np.asarray(soft_x), -1)
     )
+
+
+def test_pallas_compaction_matches():
+    import dataclasses
+
+    verts, faces = _random_scene(seed=3, n=20)
+    # Budgets round to different granularities (XLA: tile_chunk, Pallas:
+    # TC=8); 0.5 of 16 tiles lands on 8 for both.
+    cfg = dataclasses.replace(CFG, active_fraction=0.5)
+    soft_x, hard_x = rasterize(verts, faces, cfg)
+    soft_p, ssum_p, hard_p = pallas_rasterize(verts, faces, cfg, interpret=True)
+    np.testing.assert_array_equal(np.asarray(hard_p), np.asarray(hard_x))
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(soft_p), -1), np.sort(np.asarray(soft_x), -1)
+    )
