@@ -167,7 +167,14 @@ def compute_losses(params, aux, fids, batch_imgs, batch_masks, batch_masks_er,
     total = jnp.asarray(0.0, jnp.float32)
     for k, v in losses.items():
         total = total + weights[k] * v
-    return total, losses
+    # Raster-budget diagnostics (not losses): tiles whose face list overflowed
+    # the per-tile capacity, and occupied tiles beyond the active budget. A
+    # mis-budgeted run silently truncates the subject — these make it loud
+    # (logged per epoch by fit_sequence, asserted zero in the e2e tests).
+    breakdown = dict(losses)
+    breakdown["bin_overflow"] = rout["bin_overflow"].sum().astype(jnp.float32)
+    breakdown["active_overflow"] = rout["active_overflow"].sum().astype(jnp.float32)
+    return total, breakdown
 
 
 def make_train_step(assets: AvatarAssets, config: HarpConfig, rcfg: RasterConfig,
@@ -218,13 +225,20 @@ def fit_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
                  vgg: Vgg16Features | None = None, seed: int = 0,
                  log_every: int = 10, callback=None,
                  out_dir: str | None = None, image_log_every: int = 0,
-                 checkpoint_every: int = 200, extras: dict | None = None):
+                 checkpoint_every: int = 200, extras: dict | None = None,
+                 val_data: FitData | None = None,
+                 val_params: dict | None = None, val_log_every: int = 20):
     """Run the staged optimization. Returns (params, history).
 
     out_dir enables observability (the reference's TensorBoard scalars +
     periodic image logs + checkpoints, optimize_sequence.py:490-592):
     per-step loss JSONL, silhouette/RGB pair grids every `image_log_every`
-    epochs, full-state checkpoints every `checkpoint_every` epochs.
+    epochs, full-state checkpoints every `checkpoint_every` epochs, and —
+    when `val_data` (+ per-val-frame `val_params` with pose/cam rows) is
+    given — a held-out render grid plus UV/normal-map snapshots every
+    `val_log_every` epochs (reference visualize_val,
+    optimize_sequence.py:97-171; shared shape/appearance are taken live
+    from the optimized params, per-frame rows from `val_params`).
     """
     from harp_tpu.fit.optimizer import build_optimizers, PlateauState, plateau_update
 
@@ -256,6 +270,7 @@ def fit_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
         coarse_on, app_on = stage_flags(epoch, config)
         perm = rng.permutation(n)
         epoch_loss = 0.0
+        term_sums: dict = {}
         for s in range(steps):
             fids = jnp.asarray(perm[s * bs : (s + 1) * bs])
             key, sub = jax.random.split(key)
@@ -266,17 +281,26 @@ def fit_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
                 coarse_on=coarse_on, app_on=app_on,
             )
             epoch_loss += float(total)
+            for k, v in breakdown.items():
+                term_sums[k] = term_sums.get(k, 0.0) + float(v)
         epoch_loss /= steps
         if coarse_on:
             plateau = plateau_update(
                 plateau, epoch_loss, config.plateau_patience, config.plateau_factor
             )
+        # Per-term means over the epoch's steps (the reference logs per-step
+        # scalars, optimize_sequence.py:560-564; epoch means carry the same
+        # signal without a per-step host sync).
         history.append({"epoch": epoch, "loss": epoch_loss,
-                        **{k: float(v) for k, v in breakdown.items()}})
+                        **{k: v / steps for k, v in term_sums.items()}})
         if logger is not None:
             logger.log(epoch, lr_scale=plateau.scale, **history[-1])
         if out_dir is not None and image_log_every and epoch % image_log_every == 0:
             _log_images(params, aux, data, assets, config, rcfg, out_dir, epoch)
+        if (out_dir is not None and val_data is not None and val_log_every
+                and epoch % val_log_every == 0):
+            _log_val_images(params, val_params, val_data, assets, config, rcfg,
+                            out_dir, epoch, extras)
         if out_dir is not None and checkpoint_every and epoch > 0                 and epoch % checkpoint_every == 0:
             from harp_tpu.utils.io import save_result, save_checkpoint
             import os
@@ -322,3 +346,61 @@ def _log_images(params, aux, data, assets, config, rcfg, out_dir, epoch):
         np.asarray(rgb), np.asarray(data.images[:n]),
         os.path.join(out_dir, "%04d.jpg" % epoch),
     )
+
+
+def _log_val_images(params, val_params, val_data, assets, config, rcfg,
+                    out_dir, epoch, extras=None):
+    """Held-out validation render during the fit (reference visualize_val,
+    optimize_sequence.py:97-171): per-frame rows (pose/cam/...) come from
+    `val_params`, shared shape/appearance live from the optimized `params`;
+    saves a val pair grid plus the UV-texture and normal-map snapshots."""
+    import os
+    from harp_tpu.utils import viz
+    from harp_tpu.render.shadow import render_rgb_with_shadow
+
+    n = min(9, val_data.num_frames)
+    fids = jnp.arange(n)
+    shared_keys = ("shape", "verts_disps", "texture", "normal_map",
+                   "amb_ratio", "html_texture", "light_positions")
+    render_params = dict(val_params or {})
+    for k in shared_keys:
+        if k in params:
+            render_params[k] = params[k]
+
+    @jax.jit
+    def render(p):
+        verts, _ = pipeline.mesh_forward(p, fids, assets, config)
+        R, T = pipeline.camera_for_frames(p, fids, config)
+        if config.model_type == "html" and extras and "texture_basis" in extras:
+            texture = extras["texture_basis"].texture(p["html_texture"])
+        else:
+            texture = p["texture"]
+        light = jnp.broadcast_to(p["light_positions"][0], (n, 3))
+        if config.self_shadow:
+            rgb = render_rgb_with_shadow(
+                verts, assets, config, rcfg, p["cam"][fids], light,
+                p["amb_ratio"], texture, p["normal_map"],
+            )
+        else:
+            rgb = pipeline.render_rgb(
+                verts, assets, R, T, config, rcfg, texture, p["normal_map"], light
+            )
+        return rgb
+
+    rgb = render(render_params)
+    viz.save_pair_grid(
+        np.asarray(rgb), np.asarray(val_data.images[:n]),
+        os.path.join(out_dir, "val_%04d.jpg" % epoch),
+    )
+    if "texture" in params or "html_texture" in params:
+        tex = render_params.get("texture")
+        if tex is None and extras and "texture_basis" in extras:
+            tex = extras["texture_basis"].texture(render_params["html_texture"])
+        if tex is not None:
+            viz.save_image(np.asarray(tex),
+                           os.path.join(out_dir, "uv_%04d.jpg" % epoch))
+    if "normal_map" in params:
+        nm = np.asarray(params["normal_map"])
+        nm = nm / np.maximum(np.linalg.norm(nm, axis=-1, keepdims=True), 1e-8)
+        viz.save_image(nm * 0.5 + 0.5,
+                       os.path.join(out_dir, "normal_%04d.jpg" % epoch))

@@ -14,7 +14,11 @@ from harp_tpu.render import pipeline
 from harp_tpu.render.rasterizer import RasterConfig
 
 ASSETS = build_synthetic_assets(uv_size=64)
-RCFG = RasterConfig(image_size=64, tile=8, cap=256, bin_chunk=16, tile_chunk=8,
+# cap 512: the overflow counters (asserted zero below) measured a 306-face
+# peak tile at init for this scene and the fit moves the mesh — cap 256
+# silently truncated in round 1. This tiny 64^2 scene is far denser per tile
+# than the real 448^2 workload (<=135 faces/tile measured).
+RCFG = RasterConfig(image_size=64, tile=8, cap=512, bin_chunk=16, tile_chunk=8,
                     face_chunk=64, faces_per_pixel=8)
 
 
@@ -49,6 +53,9 @@ def test_fit_improves_silhouette_and_loss():
     # Appearance stage ran and produced finite params.
     assert np.all(np.isfinite(np.asarray(params["texture"])))
     assert np.all(np.isfinite(np.asarray(params["pose"])))
+    # The raster budget must never silently truncate the subject.
+    assert all(h["bin_overflow"] == 0 for h in history), "bin capacity overflow"
+    assert all(h["active_overflow"] == 0 for h in history), "active budget overflow"
 
 
 def test_fit_with_shadow_and_vgg_smoke():
@@ -64,6 +71,34 @@ def test_fit_with_shadow_and_vgg_smoke():
     params, history = fit_sequence(config, ASSETS, data, params, aux, rcfg=RCFG)
     assert len(history) == 2
     assert np.isfinite(history[-1]["loss"])
+
+
+def test_fit_with_val_rendering(tmp_path):
+    """Periodic held-out validation rendering during the fit (reference
+    visualize_val, optimize_sequence.py:97-171): val grid + UV/normal-map
+    snapshots are written every val_log_every epochs."""
+    import os
+
+    config = HarpConfig(
+        img_size=64, focal_length=285.0, texture_size=64, self_shadow=False,
+        total_epoch=2, training_stage=(1, 1, 0), batch_size=2, w_vgg=0.0,
+    )
+    images, masks, masks_er, gt, init = make_synthetic_sequence(
+        ASSETS, config, RCFG, n_frames=4, seed=5, perturb=0.1
+    )
+    data = FitData(images=images[:2], masks=masks[:2], masks_eroded=masks_er[:2])
+    val_data = FitData(images=images[2:], masks=masks[2:], masks_eroded=masks_er[2:])
+    params, aux = init_params(init, ASSETS, config)
+    val_params = {k: v[2:] if hasattr(v, "ndim") and v.ndim > 0 and v.shape[0] == 4
+                  else v for k, v in params.items()}
+    out = str(tmp_path)
+    params, history = fit_sequence(
+        config, ASSETS, data, params, aux, rcfg=RCFG, out_dir=out,
+        val_data=val_data, val_params=val_params, val_log_every=1,
+    )
+    assert os.path.exists(os.path.join(out, "val_0000.jpg"))
+    assert os.path.exists(os.path.join(out, "uv_0000.jpg"))
+    assert os.path.exists(os.path.join(out, "normal_0000.jpg"))
 
 
 def test_arm_fit_smoke():

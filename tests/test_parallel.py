@@ -60,6 +60,111 @@ def test_sharded_grad_matches_single_device():
     np.testing.assert_allclose(np.asarray(g_sharded), np.asarray(g_ref), rtol=1e-6)
 
 
+def test_real_train_step_sharded_matches_unsharded():
+    """The FULL fitting train step (losses + grouped Adam) run with the frame
+    axis sharded over the 8-device mesh must produce the same updated params
+    as the unsharded computation (GSPMD inserts all collectives)."""
+    import jax.numpy as jnp
+    from harp_tpu.assets import build_synthetic_assets
+    from harp_tpu.config import HarpConfig
+    from harp_tpu.data.synthetic import make_synthetic_sequence
+    from harp_tpu.fit import init_params
+    from harp_tpu.fit.optimizer import build_optimizers
+    from harp_tpu.fit.driver import make_train_step
+    from harp_tpu.render import pipeline
+    from harp_tpu.render.rasterizer import RasterConfig
+
+    n = 8
+    assets = build_synthetic_assets(uv_size=32)
+    config = HarpConfig(
+        img_size=32, focal_length=2000.0 * 32 / 448.0, texture_size=32,
+        self_shadow=True, w_vgg=0.0, batch_size=n,
+    )
+    rcfg = RasterConfig(image_size=32, tile=8, cap=64, bin_chunk=8,
+                        tile_chunk=4, face_chunk=32, faces_per_pixel=4)
+    images, masks, masks_er, gt, init = make_synthetic_sequence(
+        assets, config, rcfg, n_frames=n, seed=0
+    )
+    params, aux = init_params(init, assets, config)
+    txs, opt_states, _ = build_optimizers(params, config)
+    train_step = make_train_step(assets, config, rcfg, None, txs, None)
+    ref_verts, _ = pipeline.mesh_forward(params, jnp.asarray([0]), assets, config)
+    fids = jnp.arange(n)
+    key = jax.random.PRNGKey(0)
+    one = jnp.asarray(1.0, jnp.float32)
+
+    from harp_tpu.fit.driver import compute_losses
+
+    def grads_of(params, aux, fids, imgs, m, me):
+        return jax.jit(jax.grad(lambda p: compute_losses(
+            p, aux, fids, imgs, m, me, assets, config, rcfg, None,
+            ref_verts[0], key, True, True, None,
+        )[0]))(params)
+
+    def run(params, opt_states, aux, fids, imgs, m, me):
+        for _ in range(2):
+            params, opt_states, total, _ = train_step(
+                params, opt_states, aux, fids, imgs, m, me,
+                ref_verts[0], key, one, coarse_on=True, app_on=True,
+            )
+        return params, total
+
+    # NOTE make_train_step donates params/opt_states: keep host copies.
+    params_host = jax.tree.map(np.asarray, params)
+    states_host = jax.tree.map(np.asarray, opt_states)
+    g_ref = grads_of(jax.tree.map(jnp.asarray, params_host), aux, fids,
+                     images, masks, masks_er)
+    p_ref, total_ref = run(
+        jax.tree.map(jnp.asarray, params_host),
+        jax.tree.map(jnp.asarray, states_host),
+        aux, fids, images, masks, masks_er,
+    )
+    p_ref = jax.tree.map(np.asarray, p_ref)
+
+    from harp_tpu.parallel.sharding import make_mesh, frame_sharding, shard_params, replicate
+
+    mesh = make_mesh(8)
+    fsh = frame_sharding(mesh)
+    params_sh = shard_params(mesh, jax.tree.map(jnp.asarray, params_host))
+    states_sh = jax.tree.map(jnp.asarray, states_host)
+    aux_sh = {"init_joints": jax.device_put(aux["init_joints"], fsh),
+              "uv_mask": replicate(mesh, aux["uv_mask"])}
+    g_sh = grads_of(shard_params(mesh, jax.tree.map(jnp.asarray, params_host)),
+                    aux_sh, jax.device_put(fids, fsh),
+                    jax.device_put(images, fsh), jax.device_put(masks, fsh),
+                    jax.device_put(masks_er, fsh))
+    # Gradients must agree up to f32 reduction-order noise (a missing GSPMD
+    # psum would be an 8x error; observed reassociation noise is ~1e-3 of the
+    # per-param gradient scale, concentrated in cancellation-heavy sums).
+    for k in g_ref:
+        ref = np.asarray(g_ref[k])
+        np.testing.assert_allclose(
+            np.asarray(g_sh[k]), ref, rtol=2e-3,
+            atol=2e-3 * (np.abs(ref).max() + 1e-6),
+            err_msg=f"grad {k} diverged under sharding",
+        )
+    p_sh, total_sh = run(
+        params_sh, states_sh, aux_sh,
+        jax.device_put(fids, fsh), jax.device_put(images, fsh),
+        jax.device_put(masks, fsh), jax.device_put(masks_er, fsh),
+    )
+    np.testing.assert_allclose(float(total_sh), float(total_ref), rtol=1e-5)
+    # Adam normalizes by sqrt(v): elements with ~zero gradient can flip the
+    # update sign under float reassociation, bounding the per-element drift
+    # by ~(steps * lr) — use an lr-scaled tolerance for the params.
+    lr_of = {"coarse": config.lr_pose, "app": config.lr_app}
+    from harp_tpu.fit.optimizer import group_param_names
+
+    groups = group_param_names(config)
+    for k in p_ref:
+        lr = max(lr_of[g] for g, names in groups.items() if k in names) \
+            if any(k in names for names in groups.values()) else 0.0
+        np.testing.assert_allclose(
+            np.asarray(p_sh[k]), p_ref[k], rtol=2e-4, atol=2.5 * 2 * lr + 2e-6,
+            err_msg=f"param {k} diverged under sharding",
+        )
+
+
 def test_shard_params_placement():
     mesh = make_mesh(8)
     params = {
