@@ -244,7 +244,7 @@ def fit_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
 
     rcfg = rcfg or config.raster_config()
     if vgg is None and config.w_vgg > 0:
-        vgg = Vgg16Features.create()
+        vgg = Vgg16Features.create(weights_path=config.vgg_weights or None)
     txs, opt_states, masks = build_optimizers(params, config)
     train_step = make_train_step(assets, config, rcfg, vgg, txs, masks, extras)
 
@@ -269,7 +269,7 @@ def fit_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
     for epoch in range(config.total_epoch):
         coarse_on, app_on = stage_flags(epoch, config)
         perm = rng.permutation(n)
-        epoch_loss = 0.0
+        total_acc = None
         term_sums: dict = {}
         for s in range(steps):
             fids = jnp.asarray(perm[s * bs : (s + 1) * bs])
@@ -280,10 +280,17 @@ def fit_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
                 ref_verts, sub, jnp.asarray(plateau.scale, jnp.float32),
                 coarse_on=coarse_on, app_on=app_on,
             )
-            epoch_loss += float(total)
+            # Accumulate ON DEVICE: a host sync per step costs ~25 ms on the
+            # tunnel once a Mosaic kernel has run; one sync per epoch below.
+            total_acc = total if total_acc is None else total_acc + total
             for k, v in breakdown.items():
-                term_sums[k] = term_sums.get(k, 0.0) + float(v)
-        epoch_loss /= steps
+                term_sums[k] = v if k not in term_sums else term_sums[k] + v
+        term_keys = list(term_sums)
+        host_vals = np.asarray(
+            jnp.stack([total_acc] + [term_sums[k] for k in term_keys])
+        )  # single host sync for the whole epoch's scalars
+        epoch_loss = float(host_vals[0]) / steps
+        term_sums = {k: float(v) for k, v in zip(term_keys, host_vals[1:])}
         if coarse_on:
             plateau = plateau_update(
                 plateau, epoch_loss, config.plateau_patience, config.plateau_factor

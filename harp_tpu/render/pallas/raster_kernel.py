@@ -1,25 +1,30 @@
-"""Pallas TPU rasterization kernel.
+"""Pallas TPU rasterization kernel (the production TPU raster path).
 
-Replaces the XLA per-tile pass of harp_tpu.render.rasterizer (the hot path —
-the XLA pass burns the full face capacity for every tile; measured ~190 ms
-fused at 448^2 x 8 frames) with a count-bounded kernel:
+Replaces the XLA per-tile pass of harp_tpu.render.rasterizer — and, in the
+reference stack, pytorch3d's CUDA `rasterize_meshes` (renderer_helper.py:44-48)
+— with a count-bounded, face-vectorized kernel:
 
-- grid = (B, T / TC): each program rasterizes TC=8 tiles of one frame.
-- Binning stays in XLA, which also PRE-GATHERS each tile's face rows into a
-  packed (B, T, cap, 16) float32 buffer: 3 vertices x (u, v, z) + the face
-  id bitcast into lane 9. Mosaic has no per-element dynamic VMEM loads
-  ("index must be a multiple of 128"), so the kernel instead walks each
-  tile's rows in sublane-aligned groups of 8 (dynamic start `8*g` via
-  pl.multiple_of) and unrolls the 8 faces statically.
-- The inner loop is bounded by the tile's face COUNT (scalar-prefetched in
-  SMEM), so empty tiles — most of the image — cost nothing.
-- Per-pixel state lives in registers: argmin-depth face (hard raster) and a
-  K-slot first-hit list (soft raster; same selection policy as the XLA path
-  and brute-force reference).
+- grid = (B, A / TC): each program rasterizes TC tiles of one frame, taken
+  from the ACTIVE tile list (most-loaded first, the same compaction budget
+  as the XLA path).
+- Binning stays in XLA, which also pre-gathers each tile's face rows into a
+  packed (B, A, cap, 16) float32 buffer: 3 vertices x (u, v, z) padded to a
+  16-lane row. The pipeline streams (TC, cap, 16) blocks into VMEM; HBM
+  traffic for the packed buffer is tens of microseconds at the fit sizes.
+- The inner loop walks each tile's rows in vector groups of FG=8 faces:
+  geometry for all FG faces x P pixels is evaluated as (FG, P) VPU ops
+  (faces on sublanes, pixels on lanes — 8x the utilization of per-face
+  scalar processing). The loop is bounded by ceil(count / FG) with the
+  tile's face COUNT scalar-prefetched in SMEM, so empty tiles cost nothing.
+- Per-pixel state is (1, P) registers: argmin-depth slot (hard raster), a
+  K-slot first-hit list + hit counter (soft raster), and the coverage
+  log-sum (silhouette alpha forward).
 
-Outputs are integer face ids only, identical to `rasterizer._rasterize_ids`,
-so the differentiable recompute (coverage, barycentrics) and therefore
-gradients are unchanged. Interpreter-mode CPU tests assert exact agreement.
+Outputs are integer face ids (+ the coverage sum), identical to
+`rasterizer._rasterize_ids`, so the differentiable recompute (coverage,
+barycentrics) and therefore gradients are unchanged. Interpreter-mode CPU
+tests assert exact agreement; on-device tests assert agreement at the real
+448^2 workload.
 """
 
 from __future__ import annotations
@@ -34,8 +39,22 @@ from jax.experimental.pallas import tpu as pltpu
 from harp_tpu.render.rasterizer import RasterConfig, _bin_faces, _untile
 
 TC = 8  # tiles per program
-FG = 8  # faces per aligned group (sublane granularity)
+FG = 8  # faces per vector group (sublane granularity for f32)
 ROW = 16  # packed floats per face row
+BIG = 2**30  # sentinel slot (Python int: jnp constants get captured by Mosaic)
+
+
+def _cumsum_sublane(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive cumsum along axis 0 of an (FG, P) int32 array via static
+    shifted adds (Mosaic-safe; no reduce_window)."""
+    c = x
+    sh = 1
+    while sh < c.shape[0]:
+        c = c + jnp.concatenate(
+            [jnp.zeros((sh, c.shape[1]), c.dtype), c[:-sh]], axis=0
+        )
+        sh *= 2
+    return c
 
 
 def _kernel(counts_ref, act_ref, fvt_ref, hard_ref, soft_ref, ssum_ref,
@@ -46,10 +65,10 @@ def _kernel(counts_ref, act_ref, fvt_ref, hard_ref, soft_ref, ssum_ref,
     tg = pl.program_id(1)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (FG, 1), 0)
     blur_px2 = jnp.float32(cfg.blur_px2)
     znear = jnp.float32(cfg.znear)
     inf = jnp.float32(3.4e38)
-    # px^2 -> NDC^2 factor for the coverage log-sum.
     ndc2 = jnp.float32(cfg.ndc_scale**2)
     inv_sigma = jnp.float32(1.0 / cfg.sigma)
 
@@ -60,86 +79,98 @@ def _kernel(counts_ref, act_ref, fvt_ref, hard_ref, soft_ref, ssum_ref,
         t = act_ref[b * A + slot]   # actual tile index in the image
         ou = (t % nt) * ts
         ov = (t // nt) * ts
-        px = (ou + lane % ts).astype(jnp.float32) + 0.5
+        px = (ou + lane % ts).astype(jnp.float32) + 0.5   # (1, P)
         py = (ov + lane // ts).astype(jnp.float32) + 0.5
         n = jnp.minimum(counts_ref[b * A + slot], fvt_ref.shape[3])
 
         def group_body(g, state):
-            zmin, hard, cnt, ssum, sd, sid = state
+            zmin, hard, cnt, ssum, sid = state
             base = pl.multiple_of(g * FG, FG)
-            block = fvt_ref[0, 0, j, pl.ds(base, FG), :]  # (FG, ROW)
-            for r in range(FG):
-                fv = block[r]
-                live = (g * FG + r) < n
-                x0, y0, z0 = fv[0], fv[1], fv[2]
-                x1, y1, z1 = fv[3], fv[4], fv[5]
-                x2, y2, z2 = fv[6], fv[7], fv[8]
-                # The kernel tracks the bin-list SLOT, not the face id:
-                # reading ids from memory needs unsupported scalar extracts;
-                # XLA maps slots back to face ids afterwards.
-                fid = g * FG + r
+            blk = fvt_ref[0, 0, j, pl.ds(base, FG), :]  # (FG, ROW)
+            x0, y0, z0 = blk[:, 0:1], blk[:, 1:2], blk[:, 2:3]
+            x1, y1, z1 = blk[:, 3:4], blk[:, 4:5], blk[:, 5:6]
+            x2, y2, z2 = blk[:, 6:7], blk[:, 7:8], blk[:, 8:9]
+            # Face ids ride lane 9 as exact float values (ints < 2^24; a
+            # BITCAST would make ids denormal floats, which the TPU flushes
+            # to zero). Bin lists are face-id ascending, so id
+            # min-reductions implement the same first-in-bin-order selection
+            # as slot tracking would — and the outputs need no slot->id
+            # gather afterwards (that gather measured 83 ms at 448^2 x 8,
+            # more than the kernel itself).
+            gslot = blk[:, 9:10].astype(jnp.int32)
+            live = (base + row) < n
 
-                area2 = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
-                w0 = (x1 - px) * (y2 - py) - (x2 - px) * (y1 - py)
-                w1 = (x2 - px) * (y0 - py) - (x0 - px) * (y2 - py)
-                w2 = (x0 - px) * (y1 - py) - (x1 - px) * (y0 - py)
-                denom = jnp.where(jnp.abs(area2) > 1e-10, area2,
-                                  jnp.where(area2 >= 0, 1e-10, -1e-10))
-                b0, b1, b2 = w0 / denom, w1 / denom, w2 / denom
-                valid = live & (jnp.abs(area2) > 1e-10) & (z0 > znear) \
-                    & (z1 > znear) & (z2 > znear)
-                inside = (b0 >= 0) & (b1 >= 0) & (b2 >= 0) & valid
+            area2 = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)  # (FG, 1)
+            w0 = (x1 - px) * (y2 - py) - (x2 - px) * (y1 - py)     # (FG, P)
+            w1 = (x2 - px) * (y0 - py) - (x0 - px) * (y2 - py)
+            w2 = (x0 - px) * (y1 - py) - (x1 - px) * (y0 - py)
+            denom = jnp.where(jnp.abs(area2) > 1e-10, area2,
+                              jnp.where(area2 >= 0, 1e-10, -1e-10))
+            b0, b1, b2 = w0 / denom, w1 / denom, w2 / denom
+            valid = live & (jnp.abs(area2) > 1e-10) & (z0 > znear) \
+                & (z1 > znear) & (z2 > znear)        # (FG, 1)
+            inside = (b0 >= 0) & (b1 >= 0) & (b2 >= 0) & valid
 
-                def seg_d2(ax, ay, bx, by):
-                    abx, aby = bx - ax, by - ay
-                    apx, apy = px - ax, py - ay
-                    dn = abx * abx + aby * aby + 1e-12
-                    tt = jnp.clip((apx * abx + apy * aby) / dn, 0.0, 1.0)
-                    dx = apx - tt * abx
-                    dy = apy - tt * aby
-                    return dx * dx + dy * dy
+            def seg_d2(ax, ay, bx, by):
+                abx, aby = bx - ax, by - ay
+                apx, apy = px - ax, py - ay
+                dn = abx * abx + aby * aby + 1e-12
+                tt = jnp.clip((apx * abx + apy * aby) / dn, 0.0, 1.0)
+                dx = apx - tt * abx
+                dy = apy - tt * aby
+                return dx * dx + dy * dy
 
-                d2 = jnp.minimum(
-                    jnp.minimum(seg_d2(x0, y0, x1, y1), seg_d2(x1, y1, x2, y2)),
-                    seg_d2(x2, y2, x0, y0),
-                )
-                signed = jnp.where(inside, -d2, d2)
+            d2 = jnp.minimum(
+                jnp.minimum(seg_d2(x0, y0, x1, y1), seg_d2(x1, y1, x2, y2)),
+                seg_d2(x2, y2, x0, y0),
+            )
+            signed = jnp.where(inside, -d2, d2)      # (FG, P)
 
-                z = b0 * z0 + b1 * z1 + b2 * z2
-                zc = jnp.where(inside, z, inf)
-                better = zc < zmin
-                zmin = jnp.where(better, zc, zmin)
-                hard = jnp.where(better, fid, hard)
+            # Hard raster: group argmin depth, first-slot tie-break, merged
+            # with the running state by strict less-than (keeps the earliest
+            # group on exact ties — XLA-path semantics).
+            z = b0 * z0 + b1 * z1 + b2 * z2
+            zc = jnp.where(inside, z, inf)
+            zmin_g = jnp.min(zc, axis=0, keepdims=True)          # (1, P)
+            slot_g = jnp.min(
+                jnp.where(zc == zmin_g, gslot, BIG), axis=0, keepdims=True
+            )
+            better = zmin_g < zmin
+            zmin = jnp.where(better, zmin_g, zmin)
+            hard = jnp.where(better, slot_g, hard)
 
-                # First-K-in-order slot insertion (policy shared with the
-                # XLA slot compaction and the brute-force reference).
-                hit = valid & (signed <= blur_px2)
-                new_sd, new_sid = [], []
-                for k in range(K):
-                    sel = hit & (cnt == k)
-                    new_sd.append(jnp.where(sel, signed, sd[k]))
-                    new_sid.append(jnp.where(sel, fid, sid[k]))
-                sd, sid = tuple(new_sd), tuple(new_sid)
-                cnt = cnt + hit.astype(jnp.int32)
-                # Coverage log-sum over ALL within-blur faces.
-                contrib = -jax.nn.softplus(-(signed * ndc2) * inv_sigma)
-                ssum = ssum + jnp.where(hit, contrib, 0.0)
-            return zmin, hard, cnt, ssum, sd, sid
+            # Soft raster: record the first K within-blur faces in bin-list
+            # order. pos = overall hit ordinal; at most one face per pixel
+            # matches each k, extracted with a sublane min-reduction.
+            hit = valid & (signed <= blur_px2)       # (FG, P)
+            pos = cnt + _cumsum_sublane(hit.astype(jnp.int32)) - 1
+            slot_or_big = jnp.where(hit, gslot, BIG)
+            for k in range(K):
+                sk = jnp.min(jnp.where(pos == k, slot_or_big, BIG),
+                             axis=0, keepdims=True)  # (1, P)
+                sid[k] = jnp.where(sk < BIG, sk, sid[k])
+            cnt = cnt + jnp.sum(hit.astype(jnp.int32), axis=0, keepdims=True)
+            # Coverage log-sum over ALL within-blur faces (not just the K
+            # recorded): log(1-p) = -softplus(-d/sigma). Makes the
+            # silhouette alpha FORWARD free.
+            contrib = -jax.nn.softplus(-(signed * ndc2) * inv_sigma)
+            ssum = ssum + jnp.sum(jnp.where(hit, contrib, 0.0), axis=0,
+                                  keepdims=True)
+            return zmin, hard, cnt, ssum, sid
 
         zmin0 = jnp.full((1, P), inf, jnp.float32)
         hard0 = jnp.full((1, P), -1, jnp.int32)
         cnt0 = jnp.zeros((1, P), jnp.int32)
         ssum0 = jnp.zeros((1, P), jnp.float32)
-        sd0 = tuple(jnp.full((1, P), inf, jnp.float32) for _ in range(K))
-        sid0 = tuple(jnp.full((1, P), -1, jnp.int32) for _ in range(K))
+        sid0 = [jnp.full((1, P), -1, jnp.int32) for _ in range(K)]
         n_groups = (n + FG - 1) // FG
-        zmin, hard, _, ssum, sd, sid = jax.lax.fori_loop(
-            0, n_groups, group_body, (zmin0, hard0, cnt0, ssum0, sd0, sid0)
+        zmin, hard, _, ssum, sid = jax.lax.fori_loop(
+            0, n_groups, group_body, (zmin0, hard0, cnt0, ssum0, sid0)
         )
-        hard_ref[0, j] = hard[0]
+        hard_ref[0, j] = jnp.where(zmin < inf, hard, -1)[0]
         ssum_ref[0, j] = ssum[0]
         for k in range(K):
-            soft_ref[0, j, k] = jnp.where(sd[k] < inf, sid[k], -1)[0]
+            soft_ref[0, j, k] = sid[k][0]
 
     for j in range(TC):
         tile_body(j)
@@ -153,14 +184,35 @@ def pallas_rasterize(verts_px, faces, cfg: RasterConfig, interpret: bool = False
     (B, H, W) int32). Identical id outputs to the XLA `rasterize`.
     interpret=True runs in the Pallas interpreter (CPU tests).
     """
-    from harp_tpu.render.rasterizer import as_faces_array
+    out = pallas_raster_compact(verts_px, faces, cfg, interpret=interpret)
+    B = verts_px.shape[0]
+    T = (cfg.image_size // cfg.tile) ** 2
+    P = cfg.tile * cfg.tile
+    K = cfg.faces_per_pixel
+    brow = jnp.arange(B)[:, None]
+    act_idx = out["act_idx"]
 
-    faces = as_faces_array(faces)
-    return _pallas_rasterize_impl(verts_px, faces, cfg, interpret)
+    def scatter(x, fill, trailing=()):
+        full = jnp.full((B, T, P) + trailing, fill, x.dtype)
+        return _untile(full.at[brow, act_idx].set(x), cfg)
+
+    hard_ids = scatter(out["hard_ids"], -1)
+    soft_ids = scatter(out["soft_ids"], -1, (K,))
+    soft_sum = scatter(out["soft_sum"], jnp.float32(0.0))
+    return soft_ids, soft_sum, hard_ids
 
 
 @partial(jax.jit, static_argnames=("cfg", "interpret"))
-def _pallas_rasterize_impl(verts_px, faces, cfg: RasterConfig, interpret: bool):
+def pallas_raster_compact(verts_px, faces, cfg: RasterConfig,
+                          interpret: bool = False):
+    """Compact active-tile rasterization: returns a dict with act_idx
+    (B, A), soft_ids (B, A, P, K), soft_sum (B, A, P), hard_ids (B, A, P),
+    bin_overflow (B,), active_overflow (B,) — the same contract as
+    rasterizer._rasterize_ids_compact, produced in ONE tile pass with no
+    full-image scatter."""
+    from harp_tpu.render.rasterizer import as_faces_array
+
+    faces = as_faces_array(faces)
     verts_px = jax.lax.stop_gradient(verts_px)
     B = verts_px.shape[0]
     K = cfg.faces_per_pixel
@@ -168,31 +220,47 @@ def _pallas_rasterize_impl(verts_px, faces, cfg: RasterConfig, interpret: bool):
     nt = cfg.image_size // ts
     T = nt * nt
     P = ts * ts
-    assert T % TC == 0, f"tile count {T} must be a multiple of {TC}"
     assert cfg.cap % FG == 0, f"cap {cfg.cap} must be a multiple of {FG}"
 
     fv = verts_px[:, faces]  # (B, F, 3, 3)
     tile_ids, counts = _bin_faces(fv, cfg)
 
-    # Active-tile compaction (same budget rule as the XLA path, rounded to
-    # the program granularity): pre-gather and rasterize only the A
-    # most-loaded tiles.
+    # Active-tile compaction: pre-gather and rasterize only the A
+    # most-loaded tiles (top_k also sorts them most-loaded first, so tiles
+    # within a program have similar counts — balanced count-bounded loops).
+    # A is padded up to the program granularity TC; padded entries carry
+    # count 0 (no kernel work) and are dropped from the outputs.
     if cfg.active_fraction >= 1.0:
-        A = T
+        A_eff = T
     else:
-        A = min(max(-(-int(T * cfg.active_fraction) // TC), 1) * TC, T)
-    _, act_idx = jax.lax.top_k(counts, A)  # (B, A)
+        A_eff = min(max(-(-int(T * cfg.active_fraction) // TC), 1) * TC, T)
+    A = -(-A_eff // TC) * TC
+    _, act_idx = jax.lax.top_k(counts, A_eff)  # (B, A_eff)
     act_idx = act_idx.astype(jnp.int32)
-    brow = jnp.arange(B)[:, None]
     tile_ids_a = jnp.take_along_axis(tile_ids, act_idx[:, :, None], axis=1)
-    counts_a = jnp.take_along_axis(counts, act_idx, axis=1)
-    counts_a = jnp.minimum(counts_a, cfg.cap).astype(jnp.int32).reshape(-1)
+    counts_a = jnp.minimum(
+        jnp.take_along_axis(counts, act_idx, axis=1), cfg.cap
+    ).astype(jnp.int32)
+    if A != A_eff:
+        pad = A - A_eff
+        act_idx_k = jnp.pad(act_idx, ((0, 0), (0, pad)))
+        counts_a = jnp.pad(counts_a, ((0, 0), (0, pad)))
+        tile_ids_a = jnp.pad(tile_ids_a, ((0, 0), (0, pad), (0, 0)),
+                             constant_values=-1)
+    else:
+        act_idx_k = act_idx
+    counts_a = counts_a.reshape(-1)
 
-    # Pre-gather packed per-tile face rows (9 vertex floats, padded).
+    # Pre-gather packed per-tile face rows: 9 vertex floats + the face id
+    # as an exact float value in lane 9 (read back in-kernel; see _kernel).
+    F = fv.shape[1]
+    assert F < 2**24, "face ids must be exactly representable in float32"
+    id_lane = jnp.arange(F, dtype=jnp.float32)[None, :, None]
     fv_pack = jnp.concatenate(
         [
             fv.reshape(B, -1, 9),
-            jnp.zeros((B, fv.shape[1], ROW - 9), verts_px.dtype),
+            jnp.broadcast_to(id_lane, (B, F, 1)).astype(verts_px.dtype),
+            jnp.zeros((B, F, ROW - 10), verts_px.dtype),
         ],
         -1,
     )  # (B, F, ROW)
@@ -225,32 +293,13 @@ def _pallas_rasterize_impl(verts_px, faces, cfg: RasterConfig, interpret: bool):
             jax.ShapeDtypeStruct((B * (A // TC), TC, P), jnp.float32),
         ],
         interpret=interpret,
-    )(counts_a, act_idx.reshape(-1), fvt)
+    )(counts_a, act_idx_k.reshape(-1), fvt)
 
-    # Map slot indices back to face ids via the ACTIVE bin lists, then
-    # scatter compact tiles into the full image.
-    hard_slot = hard.reshape(B, A, P)
-    soft_slot = jnp.moveaxis(soft.reshape(B, A, K, P), 2, 3)  # (B, A, P, K)
-    tid3 = jnp.broadcast_to(
-        tile_ids_a.reshape(B, A, 1, cfg.cap), (B, A, P, cfg.cap)
-    )
-    hard_ids_a = jnp.where(
-        hard_slot >= 0,
-        jnp.take_along_axis(tid3, jnp.maximum(hard_slot, 0)[..., None], -1)[..., 0],
-        -1,
-    )
-    soft_ids_a = jnp.where(
-        soft_slot >= 0,
-        jnp.take_along_axis(tid3, jnp.maximum(soft_slot, 0), -1),
-        -1,
-    )
-
-    def scatter(x, fill, trailing=()):
-        full = jnp.full((B, T, P) + trailing, fill, x.dtype)
-        return _untile(full.at[brow, act_idx].set(x), cfg)
-
-    hard_ids = scatter(hard_ids_a, -1)
-    soft_ids = scatter(soft_ids_a, -1, (K,))
-    soft_sum = scatter(ssum.reshape(B, A, P).astype(jnp.float32), 0.0)
-    return soft_ids, soft_sum, hard_ids
-
+    return {
+        "act_idx": act_idx,
+        "soft_ids": jnp.moveaxis(soft.reshape(B, A, K, P), 2, 3)[:, :A_eff],
+        "soft_sum": ssum.reshape(B, A, P).astype(jnp.float32)[:, :A_eff],
+        "hard_ids": hard.reshape(B, A, P)[:, :A_eff],
+        "bin_overflow": (counts > cfg.cap).sum(axis=-1),
+        "active_overflow": jnp.maximum((counts > 0).sum(-1) - A_eff, 0),
+    }

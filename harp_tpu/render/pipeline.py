@@ -192,13 +192,11 @@ def render_normal(verts, assets: AvatarAssets, R, T, config: HarpConfig,
 def raster_camera_view_compact(verts, assets: AvatarAssets, R, T,
                                config: HarpConfig, raster_cfg: RasterConfig,
                                need_soft=True, need_hard=True):
-    from harp_tpu.render.rasterizer import _rasterize_ids_compact, as_faces_array
+    from harp_tpu.render.rasterizer import raster_compact
 
     screen = cam_mod.screen_from_world(verts, R, T, config.focal_length, config.img_size)
-    out = _rasterize_ids_compact(
-        jax.lax.stop_gradient(screen), as_faces_array(assets.render_faces),
-        raster_cfg, need_soft, need_hard,
-    )
+    out = raster_compact(screen, assets.render_faces, raster_cfg,
+                         need_soft, need_hard)
     return screen, out
 
 

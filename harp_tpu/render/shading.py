@@ -31,19 +31,25 @@ def sample_texture_bilinear(tex: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
 
     align_corners=True grid: u=0 -> texel center 0, u=1 -> texel center W-1.
     v is flipped (uv origin bottom-left). Border padding (clamped).
+
+    PERF NOTE (round-2 measurement): keep this as 4 ELEMENT gathers. A
+    single 2x2 patch gather (jax.lax.gather with slice_sizes) has the same
+    sub-ms forward, but its TRANSPOSE in the loss backward (grad w.r.t. the
+    512^2 texture parameter) lowers to a pathological scatter on TPU: the
+    full 448^2 x B8 train step regressed 267 ms -> 1412 ms. The same
+    applies to the 3x3 PCF taps in render/shadow.py.
     """
     H, W = tex.shape[0], tex.shape[1]
-    x = uv[..., 0] * (W - 1)
-    y = (1.0 - uv[..., 1]) * (H - 1)
-    x = jnp.clip(x, 0.0, W - 1)
-    y = jnp.clip(y, 0.0, H - 1)
+    x = jnp.clip(uv[..., 0] * (W - 1), 0.0, W - 1)
+    y = jnp.clip((1.0 - uv[..., 1]) * (H - 1), 0.0, H - 1)
     x0 = jnp.clip(jnp.floor(x), 0, W - 1)
     y0 = jnp.clip(jnp.floor(y), 0, H - 1)
     x1 = jnp.clip(x0 + 1, 0, W - 1)
     y1 = jnp.clip(y0 + 1, 0, H - 1)
     fx = (x - x0)[..., None]
     fy = (y - y0)[..., None]
-    x0i, x1i, y0i, y1i = x0.astype(jnp.int32), x1.astype(jnp.int32), y0.astype(jnp.int32), y1.astype(jnp.int32)
+    x0i, x1i = x0.astype(jnp.int32), x1.astype(jnp.int32)
+    y0i, y1i = y0.astype(jnp.int32), y1.astype(jnp.int32)
     t00 = tex[y0i, x0i]
     t01 = tex[y0i, x1i]
     t10 = tex[y1i, x0i]

@@ -54,6 +54,36 @@ def shadow_cameras(cam, light_positions, hand_center, config: HarpConfig):
     return light_R, light_T, cam_R, cam_T
 
 
+def pcf_visibility(depth_light, x, y, a, config: HarpConfig):
+    """3x3 percentage-closer filtering (renderer_helper.py:391-408).
+
+    depth_light: (B, Hl, Hl) light-view depth map (-1 empty); x, y: (B, ...)
+    int tap centers in light-map pixels; a: (B, ...) biased point depths.
+    Returns mean_taps sigmoid((tap - a) * sharpness), shape (B, ...).
+
+    Deliberately the 9-element-gather formulation, NOT a 3x3 patch gather:
+    gradients flow into depth_light (-> light-view z -> verts), and the
+    TRANSPOSE of a batch-vmapped patch gather lowers to a pathological
+    scatter on TPU (measured 4000 ms vs 87 ms for the take_along_axis
+    transpose at 448^2 x B8 — scripts/micro benches, round 2). The forward
+    is sub-ms either way.
+    """
+    B, Hl = depth_light.shape[0], depth_light.shape[1]
+    shape = a.shape
+    flat = depth_light.reshape(B, -1)
+    xf = x.reshape(B, -1)
+    yf = y.reshape(B, -1)
+    af = a.reshape(B, -1)
+    vis = jnp.zeros_like(af)
+    for di in (-1, 0, 1):
+        for dj in (-1, 0, 1):
+            yy = jnp.clip(yf + di, 0, Hl - 1)
+            xx = jnp.clip(xf + dj, 0, Hl - 1)
+            tap = jnp.take_along_axis(flat, yy * Hl + xx, axis=1)
+            vis = vis + jax.nn.sigmoid((tap - af) * config.shadow_sharpness)
+    return (vis / 9.0).reshape(shape)
+
+
 def render_rgb_with_shadow(
     verts, assets: AvatarAssets, config: HarpConfig, raster_cfg: RasterConfig,
     cam, light_positions, amb_ratio_logit, texture, normal_map,
@@ -107,16 +137,7 @@ def render_rgb_with_shadow(
 
     # 3x3 PCF (renderer_helper.py:391-408), taps in light-map pixels.
     a = depth_from_light - config.shadow_bias
-    vis = jnp.zeros((B, H, H), verts.dtype)
-    for di in (-1, 0, 1):
-        for dj in (-1, 0, 1):
-            yy = jnp.clip(y + di, 0, Hl - 1)
-            xx = jnp.clip(x + dj, 0, Hl - 1)
-            b = jnp.take_along_axis(
-                depth_light.reshape(B, -1), (yy * Hl + xx).reshape(B, -1), axis=1
-            ).reshape(B, H, H)
-            vis = vis + jax.nn.sigmoid((b - a) * config.shadow_sharpness)
-    vis = vis / 9.0
+    vis = pcf_visibility(depth_light, x, y, a, config)
 
     amb = jax.nn.sigmoid(amb_ratio_logit)
     ambient_color = jnp.stack([amb] * 3)
@@ -141,7 +162,7 @@ def shadow_visibility_compact(verts, assets: AvatarAssets, config: HarpConfig,
     Returns (vis, light_R, light_T, cam_R, cam_T).
     """
     from harp_tpu.render.rasterizer import (
-        _rasterize_ids_compact, as_faces_array, tile_pixel_coords,
+        raster_compact, as_faces_array, tile_pixel_coords,
         barycentrics_of_at, scatter_tiles,
     )
 
@@ -159,9 +180,7 @@ def shadow_visibility_compact(verts, assets: AvatarAssets, config: HarpConfig,
 
     # Light pass (compact) -> full depth map.
     screen_l = cam_mod.screen_from_world(verts, light_R, light_T, focal_l, Hl)
-    lout = _rasterize_ids_compact(
-        jax.lax.stop_gradient(screen_l), faces, rcfg_l, False, True
-    )
+    lout = raster_compact(screen_l, faces, rcfg_l, False, True)
     lpx, lpy = tile_pixel_coords(lout["act_idx"], rcfg_l)
     _, z_l, mask_l = barycentrics_of_at(lout["hard_ids"], screen_l, faces,
                                         rcfg_l, lpx, lpy)
@@ -185,14 +204,5 @@ def shadow_visibility_compact(verts, assets: AvatarAssets, config: HarpConfig,
     y = jnp.round(spts[..., 1]).astype(jnp.int32).reshape(B, A, P)
 
     a = depth_from_light - config.shadow_bias
-    vis = jnp.zeros((B, A, P), verts.dtype)
-    flat = depth_light.reshape(B, -1)
-    for di in (-1, 0, 1):
-        for dj in (-1, 0, 1):
-            yy = jnp.clip(y + di, 0, Hl - 1)
-            xx = jnp.clip(x + dj, 0, Hl - 1)
-            b = jnp.take_along_axis(
-                flat, (yy * Hl + xx).reshape(B, -1), axis=1
-            ).reshape(B, A, P)
-            vis = vis + jax.nn.sigmoid((b - a) * config.shadow_sharpness)
-    return vis / 9.0, light_R, light_T, cam_R, cam_T
+    vis = pcf_visibility(depth_light, x, y, a, config)
+    return vis, light_R, light_T, cam_R, cam_T

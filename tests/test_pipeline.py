@@ -11,7 +11,7 @@ from harp_tpu.render.shadow import render_rgb_with_shadow
 
 ASSETS = build_synthetic_assets(uv_size=64)
 CONFIG = HarpConfig(img_size=64, focal_length=285.0, texture_size=64)
-RCFG = RasterConfig(image_size=64, tile=8, cap=256, bin_chunk=16, tile_chunk=4,
+RCFG = RasterConfig(image_size=64, tile=8, cap=256, bin_chunk=16, tile_chunk=4, span_tiles=8,
                     face_chunk=64, faces_per_pixel=8)
 
 
