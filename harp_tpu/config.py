@@ -69,6 +69,10 @@ class HarpConfig:
     w_vgg: float = 1.0
     w_albedo: float = 0.5
     w_normal_reg: float = 0.1
+    # Path to pretrained VGG16 conv weights npz (scripts/import_vgg16_weights.py).
+    # Empty -> deterministic random filters, and perceptual metrics report as
+    # LPIPS_proxy instead of LPIPS.
+    vgg_weights: str = ""
 
     # Data / paths
     metro_output_dir: str = ""

@@ -127,10 +127,15 @@ def image_eval(images_for_eval: dict, vgg: Vgg16Features | None = None) -> dict:
         if isinstance(images_for_eval["pred_mask"], list) else np.asarray(images_for_eval["pred_mask"])
     if vgg is None:
         vgg = Vgg16Features.create()
+    # Honest naming: only call the metric LPIPS when real pretrained VGG
+    # weights are loaded (scripts/import_vgg16_weights.py). With random
+    # filters it is a perceptual proxy, NOT comparable to reference
+    # lpips-alex numbers (eval_util.py:51-53).
+    perc_key = "LPIPS" if vgg.source == "pretrained" else "LPIPS_proxy"
     return {
         "Silhouette IoU": sil_iou(ref_mask, pred_mask),
         "L1": l1_diff(ref_img, pred_img),
-        "LPIPS": perceptual_distance(vgg, ref_img, pred_img),
+        perc_key: perceptual_distance(vgg, ref_img, pred_img),
         "MS_SSIM": ms_ssim(ref_img, pred_img),
     }
 

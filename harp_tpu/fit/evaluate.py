@@ -72,11 +72,12 @@ def evaluate_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
     if save_images:
         os.makedirs(img_dir, exist_ok=True)
     if vgg is None:
-        vgg = Vgg16Features.create()
+        vgg = Vgg16Features.create(weights_path=config.vgg_weights or None)
 
     n = data.num_frames
     pending = {"ref_image": [], "ref_mask": [], "pred_image": [], "pred_mask": []}
-    stats_acc = {"Silhouette IoU": [], "L1": [], "LPIPS": [], "MS_SSIM": []}
+    perc_key = "LPIPS" if vgg.source == "pretrained" else "LPIPS_proxy"
+    stats_acc = {"Silhouette IoU": [], "L1": [], perc_key: [], "MS_SSIM": []}
     vert_errs = []
 
     render_jit = jax.jit(

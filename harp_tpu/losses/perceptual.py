@@ -46,10 +46,17 @@ def _init_weights(seed: int = 0):
     return params
 
 
+N_CONVS = sum(1 for x in VGG16_LAYOUT if x != "M")  # 10: through relu4_3
+
+
 def load_vgg16_npz(path: str):
-    """Load conv weights from an npz with keys w0..w12 / b0..b12 in HWIO."""
+    """Load conv weights from an npz with keys w0..wN / b0..bN in HWIO.
+
+    Only the first N_CONVS (10, through relu4_3) are read — the feature
+    pyramid stops at relu4_3 like the reference (model/vgg.py:16-23), so an
+    npz holding all 13 VGG16 convs also works."""
     data = np.load(path)
-    return [(data[f"w{i}"], data[f"b{i}"]) for i in range(13)]
+    return [(data[f"w{i}"], data[f"b{i}"]) for i in range(N_CONVS)]
 
 
 @dataclasses.dataclass(frozen=True)

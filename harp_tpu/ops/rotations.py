@@ -59,9 +59,10 @@ def axis_angle_to_matrix(axisang: jnp.ndarray) -> jnp.ndarray:
 def rot6d_to_matrix(x: jnp.ndarray) -> jnp.ndarray:
     """(..., 6) continuous 6D representation -> (..., 3, 3) rotation matrix.
 
-    Gram-Schmidt on the two 3-vectors (reference rot6d.py:4-24). The rows of
-    the result are the orthonormalized basis vectors, matching the reference
-    which stacks (x, y, z) along dim=1 of a (B, 3, 3) matrix.
+    Gram-Schmidt on the two 3-vectors (reference rot6d.py:4-24). The COLUMNS
+    of the result are the orthonormalized basis vectors — the reference
+    concatenates (x, y, z) along dim=2 of a (B, 3, 3) matrix (golden-pinned
+    by tests/test_golden_parity.py against the executed reference).
     """
     a1 = x[..., 0:3]
     a2 = x[..., 3:6]
@@ -69,7 +70,7 @@ def rot6d_to_matrix(x: jnp.ndarray) -> jnp.ndarray:
     b3 = jnp.cross(b1, a2)
     b3 = b3 / jnp.linalg.norm(b3, axis=-1, keepdims=True).clip(1e-8)
     b2 = jnp.cross(b3, b1)
-    return jnp.stack([b1, b2, b3], axis=-2)
+    return jnp.stack([b1, b2, b3], axis=-1)
 
 
 def project_to_rotation(m: jnp.ndarray) -> jnp.ndarray:

@@ -52,7 +52,8 @@ def test_rot6d_recovers_rotation():
     rng = np.random.RandomState(2)
     v = rng.randn(8, 3).astype(np.float32)
     m = np.asarray(R.axis_angle_to_matrix(jnp.asarray(v)))
-    six = m[:, :2].reshape(8, 6)  # first two rows
+    six = m[:, :, :2].transpose(0, 2, 1).reshape(8, 6)  # first two COLUMNS
+    # (reference rot6d.py:4-24 treats the 6d vector as two column vectors)
     got = np.asarray(R.rot6d_to_matrix(jnp.asarray(six)))
     np.testing.assert_allclose(got, m, atol=1e-4)
 
