@@ -73,6 +73,10 @@ class HarpConfig:
     # Empty -> deterministic random filters, and perceptual metrics report as
     # LPIPS_proxy instead of LPIPS.
     vgg_weights: str = ""
+    # "pickle": synchronous atomic checkpoint.pkl (reference-compatible
+    # simplicity); "orbax": async background checkpointing with retention
+    # (harp_tpu.utils.orbax_io).
+    checkpoint_backend: str = "pickle"
 
     # Data / paths
     metro_output_dir: str = ""

@@ -253,6 +253,12 @@ def fit_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
         from harp_tpu.utils.profiling import MetricsLogger
 
         logger = MetricsLogger(out_dir)
+    orbax_ckpt = None
+    if (out_dir is not None and checkpoint_every
+            and config.checkpoint_backend == "orbax"):
+        from harp_tpu.utils.orbax_io import OrbaxCheckpointer
+
+        orbax_ckpt = OrbaxCheckpointer(out_dir)
 
     # ARAP reference mesh: frame 0 at the initial parameters (reference :431).
     ref_verts, _ = pipeline.mesh_forward(params, jnp.asarray([0]), assets, config)
@@ -313,14 +319,21 @@ def fit_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
             import os
 
             save_result(params, out_dir, test=config.known_appearance)
-            save_checkpoint(
-                os.path.join(out_dir, "checkpoint.pkl"), params, opt_states,
-                epoch, plateau.scale,
-            )
+            if orbax_ckpt is not None:
+                # Async: device-to-host + write happen in the background,
+                # the epoch loop does not block on storage.
+                orbax_ckpt.save(epoch, params, opt_states, plateau.scale)
+            else:
+                save_checkpoint(
+                    os.path.join(out_dir, "checkpoint.pkl"), params, opt_states,
+                    epoch, plateau.scale,
+                )
         if callback is not None:
             callback(epoch, params, history[-1])
     if logger is not None:
         logger.close()
+    if orbax_ckpt is not None:
+        orbax_ckpt.close()
     return params, history
 
 

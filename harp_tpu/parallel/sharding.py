@@ -33,6 +33,53 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     return Mesh(np.asarray(devices), (FRAME_AXIS,))
 
 
+def initialize_distributed(coordinator_address: str | None = None,
+                           num_processes: int | None = None,
+                           process_id: int | None = None) -> None:
+    """Multi-host initialization for pod-scale batch fitting (SURVEY §2
+    comm-backend row).
+
+    On TPU pods the three arguments are discovered from the environment
+    (TPU_WORKER_HOSTNAMES etc.) and `jax.distributed.initialize()` takes no
+    parameters; pass them explicitly for CPU/GPU clusters. Safe to call
+    when already initialized (no-op). After this, `jax.devices()` is global
+    across hosts and `make_mesh()`/`global_batch_mesh()` build pod-wide
+    meshes; GSPMD routes frame-axis collectives over ICI within a slice and
+    DCN across slices with no further code changes.
+    """
+    try:
+        already = jax.process_count() > 1
+    except Exception:
+        already = False
+    if already:
+        return
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (ValueError, RuntimeError) as e:  # single-process / already init
+        if "already initialized" not in str(e) and kwargs:
+            raise
+
+
+def global_batch_mesh(seq_axis: int | None = None) -> Mesh:
+    """Pod-wide mesh for the batch-over-sequences flagship config: axis 0 =
+    sequences (across hosts/slices, DCN), axis 1 = frames (within a slice,
+    ICI). With seq_axis=None, uses jax.process_count() as the sequence
+    axis — one sequence group per host."""
+    devices = np.asarray(jax.devices())
+    n = devices.size
+    s = seq_axis if seq_axis is not None else max(jax.process_count(), 1)
+    if n % s != 0:
+        s = 1
+    return Mesh(devices.reshape(s, n // s), ("sequences", FRAME_AXIS))
+
+
 def frame_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(FRAME_AXIS))
 
