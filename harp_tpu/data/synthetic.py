@@ -37,11 +37,15 @@ def make_synthetic_sequence(assets: AvatarAssets, config: HarpConfig,
     rng = np.random.RandomState(seed)
     ts = config.texture_size
     V = assets.num_render_verts
+    # Parameter widths follow the model family: MANO 45-dof pose / 10 shape,
+    # NIMBLE 30 PCA pose / 20 shape, etc.
+    P = getattr(assets.model, "ncomps", 45)
+    S = assets.model.shapedirs.shape[2]
 
     # Ground-truth parameters: smooth pose trajectory + mild appearance.
     t = np.linspace(0, 1, n_frames)[:, None]
-    base_pose = 0.25 * rng.randn(1, 45)
-    drift = 0.2 * np.sin(2 * np.pi * t + rng.uniform(0, 6.28, (1, 45)))
+    base_pose = 0.25 * rng.randn(1, P)
+    drift = 0.2 * np.sin(2 * np.pi * t + rng.uniform(0, 6.28, (1, P)))
     tex = np.tile(np.array([0.8, 0.62, 0.55], np.float32), (ts, ts, 1))
     # paint some structure so photometric losses are informative
     yy, xx = np.mgrid[0:ts, 0:ts]
@@ -51,7 +55,7 @@ def make_synthetic_sequence(assets: AvatarAssets, config: HarpConfig,
         "pose": jnp.asarray(base_pose + drift, jnp.float32),
         "rot": jnp.asarray(0.1 * rng.randn(n_frames, 3) * 0 + 0.05 * t, jnp.float32),
         "trans": jnp.zeros((n_frames, 3), jnp.float32),
-        "shape": jnp.asarray(0.3 * rng.randn(10), jnp.float32),
+        "shape": jnp.asarray(0.3 * rng.randn(S), jnp.float32),
         "wrist_pose": jnp.zeros((n_frames, 3), jnp.float32),
         "cam": jnp.asarray(np.tile(cam, (n_frames, 1)), jnp.float32),
         "verts_disps": jnp.zeros((V, 1), jnp.float32),
@@ -81,11 +85,11 @@ def make_synthetic_sequence(assets: AvatarAssets, config: HarpConfig,
 
     # Perturbed init, standing in for noisy METRO estimates.
     init = {
-        "pose": np.asarray(gt["pose"]) + perturb * rng.randn(n_frames, 45).astype(np.float32),
+        "pose": np.asarray(gt["pose"]) + perturb * rng.randn(n_frames, P).astype(np.float32),
         "rot": np.asarray(gt["rot"]) + 0.3 * perturb * rng.randn(n_frames, 3).astype(np.float32),
         "trans": np.asarray(gt["trans"]),
         "shape": np.tile(np.asarray(gt["shape"]), (n_frames, 1))
-        + 0.5 * perturb * rng.randn(n_frames, 10).astype(np.float32),
+        + 0.5 * perturb * rng.randn(n_frames, S).astype(np.float32),
         "cam": np.asarray(gt["cam"]),
         "joints": np.asarray(joints),  # anchor joints, as METRO would supply
     }

@@ -56,18 +56,44 @@ def load_hand_model(config: HarpConfig, *, synthetic: bool = False,
                     arm_template: str = "template/arm/arm_template.obj",
                     hand_uv_mask: str = "template/hand/uv_mask.png",
                     arm_uv_mask: str = "template/arm/uv_mask.png",
-                    html_tex_model: str = "htmlpth/TextureBasis/model_sr/model.pkl"):
+                    html_tex_model: str = "htmlpth/TextureBasis/model_sr/model.pkl",
+                    nimble_dict: str = "nimble/assets/NIMBLE_DICT_9137.pkl",
+                    nimble_vreg: str = "nimble/assets/NIMBLE_MANO_VREG.pkl",
+                    nimble_template: str = "template/nimble/rand_1_skin.obj"):
     """Returns (assets, extras). extras carries model-family specifics
     (e.g. the HTML texture basis)."""
     extras = {}
     if config.model_type == "nimble":
-        raise NotImplementedError(
-            "NIMBLE support requires the external NIMBLE release "
-            "(NIMBLE_DICT_9137.pkl etc.); provide an adapter implementing "
-            "forward(pose, shape, tex, rot, trans) -> "
-            "(skin_v, muscle_v, bone_v, joints, tex_img) and register it "
-            "as assets.model."
+        import dataclasses as _dc
+        import os
+
+        from harp_tpu.models.nimble import (
+            build_synthetic_nimble, load_nimble_model,
         )
+
+        if synthetic:
+            # NIMBLE's synthetic stand-in shares the synthetic hand's skin
+            # topology/UVs; only the driving model differs (30-comp pose
+            # PCA, 20 shape comps, anatomical layers, MANO regression).
+            base = build_synthetic_assets(
+                uv_size=config.texture_size, subdivide=False
+            )
+            return _dc.replace(base, model=build_synthetic_nimble()), extras
+        if not os.path.exists(nimble_dict):
+            raise FileNotFoundError(
+                f"NIMBLE release not found at {nimble_dict!r} "
+                "(registration-gated, https://nimblehand.github.io); pass "
+                "nimble_dict/nimble_vreg/nimble_template paths, or use "
+                "synthetic=True for the structural stand-in."
+            )
+        model = load_nimble_model(nimble_dict, nimble_vreg)
+        # The NIMBLE skin mesh is already dense (5990 verts): no subdivision,
+        # matching the reference (hand_model_utils.py:28-56).
+        assets = _assets_from_model(
+            model, model.faces, model.num_verts, nimble_template,
+            hand_uv_mask, subdivide=False,
+        )
+        return assets, extras
 
     if config.model_type == "html":
         from harp_tpu.models.html import load_html_basis, synthetic_texture_basis

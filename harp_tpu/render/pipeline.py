@@ -40,7 +40,19 @@ def mesh_forward(params: dict, fids: jnp.ndarray, assets: AvatarAssets,
     trans = params["trans"][fids]
     shape = jnp.broadcast_to(params["shape"][None], (B, params["shape"].shape[0]))
 
-    if config.use_arm:
+    if config.model_type == "nimble":
+        from harp_tpu.models.nimble import (
+            nimble_forward, nimble_to_mano, mano_protocol_joints,
+        )
+
+        posed = jnp.concatenate([rot, pose], axis=1)
+        verts_mm, _ = nimble_forward(assets.model, posed, shape, trans)
+        # Keypoint losses run in the MANO joint protocol for every family
+        # (reference fits MANO joints to NIMBLE output, hand_utils.py:296).
+        joints_mm = mano_protocol_joints(
+            assets.model, nimble_to_mano(assets.model, verts_mm)
+        )
+    elif config.use_arm:
         from harp_tpu.models.smplx_arm import smplx_arm_forward
 
         verts_mm, joints_mm = smplx_arm_forward(

@@ -35,9 +35,17 @@ def test_zoo_html_synthetic():
     assert assets.subdivision is None
 
 
-def test_zoo_nimble_raises():
-    with pytest.raises(NotImplementedError):
-        load_hand_model(HarpConfig(model_type="nimble"), synthetic=True)
+def test_zoo_nimble_synthetic_and_gated_real():
+    from harp_tpu.models.nimble import NimbleModel
+
+    assets, extras = load_hand_model(HarpConfig(model_type="nimble"),
+                                     synthetic=True)
+    assert isinstance(assets.model, NimbleModel)
+    assert assets.subdivision is None  # NIMBLE skin is already dense
+    # Real path without the registration-gated release: clear error.
+    with pytest.raises(FileNotFoundError):
+        load_hand_model(HarpConfig(model_type="nimble"), synthetic=False,
+                        nimble_dict="/nonexistent/NIMBLE_DICT_9137.pkl")
 
 
 def test_unet_shapes_and_latent():
