@@ -48,8 +48,11 @@ def parse_args():
     p.add_argument("--smplx-npz", default="", help="SMPLX_NEUTRAL.npz path")
     p.add_argument("--arm-corr", default="template/arm/smplx_arm_corr.pkl")
     p.add_argument("--turntables", action="store_true")
-    p.add_argument("--active-tiles", type=float, default=1.0,
-                   help="raster tile budget fraction (0.5 for hand fits)")
+    p.add_argument("--active-tiles", type=float, default=None,
+                   help="raster tile budget fraction; default 0.5 at >=256px "
+                        "(hand fits cover a minority of tiles; overflow "
+                        "counters in logs flag an insufficient budget), "
+                        "1.0 below")
     p.add_argument("--debug-nans", action="store_true")
     return p.parse_args()
 
@@ -83,7 +86,10 @@ def main():
         self_shadow=not args.no_shadow,
         w_vgg=0.0 if args.no_vgg else 1.0,
         known_appearance=args.known_appearance,
-        raster_active_fraction=args.active_tiles,
+        raster_active_fraction=(
+            args.active_tiles if args.active_tiles is not None
+            else (0.5 if args.img_size >= 256 else 1.0)
+        ),
         start_from=args.start_from,
         base_output_dir=args.out,
         metro_output_dir=args.metro_output_dir,
@@ -177,8 +183,20 @@ def main():
         params = prepare_resume_params(config.start_from, input_params, config)
 
     # --- fit ---
+    # out_dir enables the reference driver's observability: per-epoch JSONL
+    # scalars incl. raster-overflow counters, image pair grids, periodic
+    # checkpoints, and (with a val set) held-out render grids.
+    val_kwargs = {}
+    if val is not None:
+        v_input, v_data = val
+        v_params = {k: jnp.asarray(v) for k, v in v_input.items()}
+        val_kwargs = dict(val_data=v_data, val_params=v_params)
     with Timer() as t_fit:
-        params, history = fit_sequence(config, assets, data, params, aux, rcfg=rcfg)
+        params, history = fit_sequence(
+            config, assets, data, params, aux, rcfg=rcfg,
+            out_dir=config.base_output_dir, image_log_every=10,
+            **val_kwargs,
+        )
     save_result(params, config.base_output_dir, test=config.known_appearance)
 
     # --- evaluate ---

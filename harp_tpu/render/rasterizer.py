@@ -59,7 +59,10 @@ class RasterConfig:
     # tiles its (blur-padded) bbox covers; one sort of F*span^2 (tile, face)
     # pairs per frame builds every tile list. Faces spanning more tiles are
     # truncated and counted in `bin_overflow` (raise span_tiles for scenes
-    # with triangles larger than span_tiles * tile pixels).
+    # with triangles larger than span_tiles * tile pixels; lower it to 3
+    # for known-small-triangle scenes — the isolated pair sort is ~6x
+    # faster at span 3, though the fused train step absorbs the difference
+    # through async overlap).
     span_tiles: int = 4
     tile_chunk: int = 8  # tiles per raster chunk
     face_chunk: int = 256  # faces per inner accumulation step (capped at cap)
@@ -491,7 +494,7 @@ def get_ids(verts_px, faces, cfg: RasterConfig, need_soft: bool = True,
     Dispatches to the fused Pallas kernel on TPU (which always computes both
     outputs in one count-bounded pass) or the XLA reference path elsewhere.
     """
-    if _use_pallas(cfg):
+    if _use_pallas(cfg) and not _pallas_pregather_too_large(verts_px.shape[0], cfg):
         from harp_tpu.render.pallas.raster_kernel import pallas_rasterize
 
         soft, _, hard = pallas_rasterize(verts_px, faces, cfg)
@@ -530,7 +533,10 @@ def soft_alpha_from_ids(ids: jnp.ndarray, verts_px: jnp.ndarray, faces, cfg: Ras
     px, py = _pixel_centers(cfg)
     K = ids.shape[-1]
 
-    def body(k, acc):
+    # Static unroll over K (see soft_alpha_from_ids_at: a fori_loop here
+    # serializes the per-k gathers in the backward).
+    acc = jnp.zeros(ids.shape[:3], verts_px.dtype)
+    for k in range(K):
         fid = ids[..., k]  # (B, H, W)
         safe = jnp.maximum(fid, 0)
         fvk = jnp.take_along_axis(
@@ -541,10 +547,8 @@ def soft_alpha_from_ids(ids: jnp.ndarray, verts_px: jnp.ndarray, faces, cfg: Ras
         ok = (fid >= 0) & g["valid"] & (d <= cfg.blur_radius)
         # log(1 - sigmoid(-d/sigma)) = -softplus(-d/sigma)
         contrib = -jax.nn.softplus(-d / cfg.sigma)
-        return acc + jnp.where(ok, contrib, 0.0)
-
-    log_one_minus = jax.lax.fori_loop(0, K, body, jnp.zeros(ids.shape[:3], verts_px.dtype))
-    return 1.0 - jnp.exp(log_one_minus)
+        acc = acc + jnp.where(ok, contrib, 0.0)
+    return 1.0 - jnp.exp(acc)
 
 
 def barycentrics_of(ids: jnp.ndarray, verts_px: jnp.ndarray, faces, cfg: RasterConfig):
@@ -599,7 +603,7 @@ def raster_full(verts_px, faces, cfg: RasterConfig, need_soft: bool = True,
                 need_hard: bool = True):
     """Like get_ids but also returns the coverage log-sum: a dict with
     soft_ids, soft_sum, hard_ids (missing keys when not requested)."""
-    if _use_pallas(cfg):
+    if _use_pallas(cfg) and not _pallas_pregather_too_large(verts_px.shape[0], cfg):
         from harp_tpu.render.pallas.raster_kernel import pallas_rasterize
 
         soft, ssum, hard = pallas_rasterize(verts_px, faces, cfg)
@@ -656,6 +660,19 @@ def _rasterize_ids_compact(verts_px, faces, cfg: RasterConfig, need_soft: bool,
                           compact=True)
 
 
+def _pallas_pregather_too_large(B: int, cfg: RasterConfig,
+                                limit_bytes: int = 256 * 1024 * 1024) -> bool:
+    """The Pallas path pre-gathers a (B, A, cap, 16) f32 face buffer. With
+    an unbounded active budget at high resolution this can reach ~1 GB
+    (B18, A=784, cap 256 = 918 MB) — enough to crash the TPU worker once
+    the gradient graph's residents are added. Past `limit_bytes`, fall back
+    to the chunked XLA tile pass (correct at any size, just slower).
+    Fitting configs stay far below the limit (compaction budgets ~0.35-0.5)."""
+    T = (cfg.image_size // cfg.tile) ** 2
+    A = T if cfg.active_fraction >= 1.0 else int(T * cfg.active_fraction)
+    return B * A * cfg.cap * 16 * 4 > limit_bytes
+
+
 def raster_compact(verts_px, faces, cfg: RasterConfig, need_soft: bool = True,
                    need_hard: bool = True):
     """Unified compact rasterization entry: dict with act_idx (B, A),
@@ -668,7 +685,7 @@ def raster_compact(verts_px, faces, cfg: RasterConfig, need_soft: bool = True,
     budget that covers the occupied tiles."""
     faces = as_faces_array(faces)
     verts_px = jax.lax.stop_gradient(verts_px)
-    if _use_pallas(cfg):
+    if _use_pallas(cfg) and not _pallas_pregather_too_large(verts_px.shape[0], cfg):
         from harp_tpu.render.pallas.raster_kernel import pallas_raster_compact
 
         out = dict(pallas_raster_compact(verts_px, faces, cfg))
@@ -731,7 +748,12 @@ def soft_alpha_from_ids_at(ids: jnp.ndarray, verts_px: jnp.ndarray, faces,
     fv9 = verts_px[:, faces].reshape(B, -1, 9)
     K = ids.shape[-1]
 
-    def body(k, acc):
+    # STATIC Python loop over K, not fori_loop: the while op serializes 8
+    # gather+geometry rounds (profiled 44 ms at 448^2 x B8 in the backward);
+    # unrolled, XLA fuses the K gathers and their VJP scatters into batched
+    # ops (~2x faster backward for the silhouette term).
+    acc = jnp.zeros(ids.shape[:-1], verts_px.dtype)
+    for k in range(K):
         fid = ids[..., k]
         safe = jnp.maximum(fid, 0)
         fvk = jnp.take_along_axis(
@@ -741,10 +763,8 @@ def soft_alpha_from_ids_at(ids: jnp.ndarray, verts_px: jnp.ndarray, faces,
         d = g["signed_d_ndc2"]
         ok = (fid >= 0) & g["valid"] & (d <= cfg.blur_radius)
         contrib = -jax.nn.softplus(-d / cfg.sigma)
-        return acc + jnp.where(ok, contrib, 0.0)
-
-    log_one_minus = jax.lax.fori_loop(0, K, body, jnp.zeros(ids.shape[:-1], verts_px.dtype))
-    return 1.0 - jnp.exp(log_one_minus)
+        acc = acc + jnp.where(ok, contrib, 0.0)
+    return 1.0 - jnp.exp(acc)
 
 
 def soft_alpha_fast_at(ids, soft_sum, verts_px, faces, cfg: RasterConfig,
