@@ -60,7 +60,8 @@ def compute_losses(params, aux, fids, batch_imgs, batch_masks, batch_masks_er,
     model_type='html' (the UV texture is mean + basis @ html_texture coeffs
     instead of a free texel grid)."""
     from harp_tpu.render.rasterizer import (
-        soft_alpha_fast_at, tile_pixel_coords, gather_tiles, scatter_tiles,
+        soft_alpha_fast_at, soft_alpha_fast_pack, tile_pixel_coords,
+        gather_tiles, scatter_tiles,
     )
 
     losses = {}
@@ -79,10 +80,17 @@ def compute_losses(params, aux, fids, batch_imgs, batch_masks, batch_masks_er,
     n_px = batch_masks.size
 
     if coarse_on:
-        alpha_c = soft_alpha_fast_at(
-            rout["soft_ids"], rout["soft_sum"], screen, assets.render_faces,
-            rcfg, px, py,
-        )
+        if "pack" in rout:
+            # Pallas raster path: fused tile-kernel backward.
+            alpha_c = soft_alpha_fast_pack(
+                rout["soft_sum"], rout["pack"], screen, assets.render_faces,
+                rcfg,
+            )
+        else:
+            alpha_c = soft_alpha_fast_at(
+                rout["soft_ids"], rout["soft_sum"], screen, assets.render_faces,
+                rcfg, px, py,
+            )
         m_c = gather_tiles(batch_masks, act_idx, rcfg)
         # mean |alpha - m| over the full image; inactive tiles: alpha = 0.
         losses["silhouette"] = (

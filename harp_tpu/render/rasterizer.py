@@ -767,6 +767,47 @@ def soft_alpha_from_ids_at(ids: jnp.ndarray, verts_px: jnp.ndarray, faces,
     return 1.0 - jnp.exp(acc)
 
 
+def soft_alpha_fast_pack(soft_sum, pack, verts_px, faces, cfg: RasterConfig,
+                         interpret: bool = False):
+    """Compact silhouette alpha with the FUSED Pallas backward.
+
+    Forward: free (1 - exp of the raster pass's coverage log-sum).
+    Backward: the tile kernel recomputes every within-blur face's coverage
+    contribution per tile with in-kernel jax.vjp and emits per-tile-slot
+    vertex gradients, reduced by one segment scatter — replacing the XLA
+    K-id path's per-pixel-per-k gathers + 573k-row scatters (profiled
+    ~99 ms/step at 448^2 x B8).
+
+    Semantics: gradient of the EXACT alpha (all within-blur faces), where
+    the K-id path truncates to the first K recorded; the two agree to f32
+    noise (tests/test_grad_fidelity.py) and the Pallas backward is the
+    closer one to the true derivative.
+    """
+    from harp_tpu.render.pallas.raster_kernel import pallas_coverage_grad
+
+    faces = as_faces_array(faces)
+    soft_sum = jax.lax.stop_gradient(soft_sum)
+    pack = jax.tree.map(jax.lax.stop_gradient, pack)
+    num_verts = verts_px.shape[1]
+
+    @jax.custom_vjp
+    def alpha(v):
+        return 1.0 - jnp.exp(soft_sum)
+
+    def fwd(v):
+        return alpha(v), None
+
+    def bwd(res, g):
+        # d alpha / d ssum = -exp(ssum): fold into the upstream gradient.
+        g_ssum = -jnp.exp(soft_sum) * g
+        dv = pallas_coverage_grad(pack, g_ssum, faces, num_verts, cfg,
+                                  interpret=interpret)
+        return (dv,)
+
+    alpha.defvjp(fwd, bwd)
+    return alpha(verts_px)
+
+
 def soft_alpha_fast_at(ids, soft_sum, verts_px, faces, cfg: RasterConfig,
                        px, py):
     """Compact-layout soft_alpha_fast: free forward from the raster's
