@@ -77,16 +77,20 @@ def measure(B: int) -> float:
 
 
 def main():
-    fps8 = measure(8)
-    # Reference protocol batch (optimize_sequence.py:396) — reported
-    # alongside for comparability (VERDICT round-1, Weak #3).
+    # HEADLINE: the reference protocol batch (optimize_sequence.py:396) at
+    # reference mesh density (3093 render verts / 6152 faces — the _build
+    # default). B=8 reported alongside.
     fps18 = measure(18)
+    fps8 = measure(8)
     out = {
         "metric": "train_frames_per_sec_448",
-        "value": round(fps8, 3),
+        "value": round(fps18, 3),
         "unit": "frames/s/chip",
-        "vs_baseline": round(fps8 / REFERENCE_FRAMES_PER_SEC_ESTIMATE, 3),
-        "value_b18": round(fps18, 3),
+        "vs_baseline": round(fps18 / REFERENCE_FRAMES_PER_SEC_ESTIMATE, 3),
+        # The reference publishes no numbers and cannot run here (no
+        # CUDA/pytorch3d): the denominator is an estimate, not a measurement.
+        "vs_baseline_basis": "estimate:8fps-V100-literature",
+        "value_b8": round(fps8, 3),
     }
     print(json.dumps(out))
 

@@ -37,6 +37,12 @@ def parse_args():
     p.add_argument("--start-from", default="")
     p.add_argument("--out", default="exp/out/")
     p.add_argument("--n-frames", type=int, default=8, help="synthetic frames")
+    p.add_argument("--density", default="reference", choices=["light", "reference"],
+                   help="synthetic mesh density: 'reference' matches the "
+                        "reference workload (3088 verts / 6152 faces hand)")
+    p.add_argument("--raster-cap", type=int, default=None,
+                   help="per-tile face capacity (default 448, probed for "
+                        "reference density; use 256 for light meshes)")
     p.add_argument("--seed", type=int, default=0)
     # Real-data paths (reference directory layout).
     p.add_argument("--metro-output-dir", default="")
@@ -90,6 +96,8 @@ def main():
             args.active_tiles if args.active_tiles is not None
             else (0.5 if args.img_size >= 256 else 1.0)
         ),
+        raster_cap=(args.raster_cap if args.raster_cap is not None
+                    else (448 if args.density == "reference" else 256)),
         start_from=args.start_from,
         base_output_dir=args.out,
         metro_output_dir=args.metro_output_dir,
@@ -103,9 +111,11 @@ def main():
     if args.synthetic:
         from harp_tpu.assets import build_synthetic_assets, build_synthetic_arm_assets
 
-        assets = (build_synthetic_arm_assets(uv_size=args.texture_size)
+        assets = (build_synthetic_arm_assets(uv_size=args.texture_size,
+                                             density=args.density)
                   if args.use_arm else
-                  build_synthetic_assets(uv_size=args.texture_size))
+                  build_synthetic_assets(uv_size=args.texture_size,
+                                         density=args.density))
     elif args.use_arm:
         from harp_tpu.assets import AvatarAssets, load_obj_with_uv
         from harp_tpu.models.smplx_arm import load_smplx_arm

@@ -215,7 +215,36 @@ def _segment_distance(p: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray
     return np.linalg.norm(p - proj, axis=1)
 
 
-def build_synthetic_hand(n_ring: int = 8, seed: int = 0) -> ManoModel:
+def _resample_polyline(centers: np.ndarray, radii: np.ndarray, n: int):
+    """Resample a polyline (+ per-point radii) to n arclength-uniform points."""
+    if n == centers.shape[0]:
+        return centers, radii
+    d = np.linalg.norm(np.diff(centers, axis=0), axis=1)
+    s = np.concatenate([[0.0], np.cumsum(d)])
+    t = np.linspace(0.0, s[-1], n)
+    out_c = np.stack([np.interp(t, s, centers[:, i]) for i in range(3)], 1)
+    return out_c.astype(centers.dtype), np.interp(t, s, radii)
+
+
+# Mesh-density presets for the synthetic assets. "light" is the fast
+# test-suite mesh; "reference" matches the reference workload's render-mesh
+# density (hand 3093 verts / 6152 faces after 4-way subdivision from 778,
+# arm 4083 / 8128 — /root/reference/optimize_sequence.py:198-212): the
+# procedural mesh lands at 3090 v / 6152 f (hand) and 4078 v / 8128 f (arm),
+# the closed-manifold-reachable counts nearest the reference's.
+HAND_DENSITY = {
+    "light": dict(n_ring=8, chain_pts=5, palm_res=(10, 7)),
+    "reference": dict(n_ring=12, chain_pts=10, palm_res=(13, 15)),
+}
+ARM_FOREARM_DENSITY = {
+    # (ring verts, chain points) of the forearm tube.
+    "light": dict(fore_ring=10, fore_pts=4),
+    "reference": dict(fore_ring=19, fore_pts=13),
+}
+
+
+def build_synthetic_hand(n_ring: int = 8, seed: int = 0, chain_pts: int = 5,
+                         palm_res: tuple = (10, 7)) -> ManoModel:
     """A deterministic articulated hand with MANO-compatible structure.
 
     16-joint MANO skeleton (wrist; index/middle/pinky/ring/thumb x 3), tube
@@ -273,12 +302,14 @@ def build_synthetic_hand(n_ring: int = 8, seed: int = 0) -> ManoModel:
         radii = np.linspace(0.0085, 0.0055, chain.shape[0])
         if name == "thumb":
             radii *= 1.25
+        chain, radii = _resample_polyline(chain, radii, chain_pts)
         v, f, end_cap = _tube(chain, radii, n_ring)
         all_verts.append(v)
         all_faces.append(f + offset)
         tip_vertex[name] = offset + end_cap
         offset += v.shape[0]
-    pv, pf = _ellipsoid(np.array([0.045, 0.0, 0.0]), np.array([0.058, 0.042, 0.016]))
+    pv, pf = _ellipsoid(np.array([0.045, 0.0, 0.0]), np.array([0.058, 0.042, 0.016]),
+                        n_u=palm_res[0], n_v=palm_res[1])
     all_verts.append(pv)
     all_faces.append(pf + offset)
 
@@ -422,9 +453,15 @@ def _connected_components(num_verts: int, faces: np.ndarray) -> list[np.ndarray]
 
 
 def build_synthetic_assets(n_ring: int = 8, seed: int = 0, uv_size: int = 128,
-                           subdivide: bool = True) -> AvatarAssets:
-    """Synthetic hand + subdivision + planar UV atlas + uv mask."""
-    model = build_synthetic_hand(n_ring=n_ring, seed=seed)
+                           subdivide: bool = True,
+                           density: str | None = None) -> AvatarAssets:
+    """Synthetic hand + subdivision + planar UV atlas + uv mask.
+
+    density: "light" (test mesh, 1012 render verts / 2000 faces) or
+    "reference" (3090 / 6152 — the reference workload density, the
+    bench/entry/protocol default). None keeps the explicit n_ring."""
+    kw = dict(HAND_DENSITY[density]) if density else dict(n_ring=n_ring)
+    model = build_synthetic_hand(seed=seed, **kw)
     coarse = build_topology(model.faces, model.num_verts)
     if subdivide:
         sub = build_subdivision(coarse)
@@ -471,7 +508,8 @@ def build_synthetic_assets(n_ring: int = 8, seed: int = 0, uv_size: int = 128,
 # ---------------------------------------------------------------------------
 
 
-def build_synthetic_arm(n_ring: int = 8, seed: int = 0):
+def build_synthetic_arm(n_ring: int = 8, seed: int = 0,
+                        density: str | None = None):
     """A synthetic SmplxArmModel: the procedural hand + a forearm tube placed
     on the real 55-joint SMPL-X skeleton layout (only the right-arm chain is
     geometrically meaningful; other joints are inert). Used to exercise the
@@ -482,7 +520,8 @@ def build_synthetic_arm(n_ring: int = 8, seed: int = 0):
     )
 
     rng = np.random.RandomState(seed + 17)
-    hand = build_synthetic_hand(n_ring=n_ring, seed=seed)
+    hand_kw = dict(HAND_DENSITY[density]) if density else dict(n_ring=n_ring)
+    hand = build_synthetic_hand(seed=seed, **hand_kw)
     n_hand = hand.num_verts
 
     # Forearm: tube from just behind the wrist toward -x (elbow at -0.26).
@@ -491,7 +530,13 @@ def build_synthetic_arm(n_ring: int = 8, seed: int = 0):
          np.array([-0.08, 0.0, 0.0]), np.array([0.01, 0.0, 0.0])], 0
     )
     radii = np.array([0.030, 0.032, 0.034, 0.036])
-    fa_verts, fa_faces, _ = _tube(chain, radii, n_ring + 2)
+    if density:
+        fkw = ARM_FOREARM_DENSITY[density]
+        fore_ring, fore_pts = fkw["fore_ring"], fkw["fore_pts"]
+    else:
+        fore_ring, fore_pts = n_ring + 2, 4
+    chain, radii = _resample_polyline(chain, radii, fore_pts)
+    fa_verts, fa_faces, _ = _tube(chain, radii, fore_ring)
     n_fore = fa_verts.shape[0]
 
     # Dummy "rest of body" verts (excluded from the arm submesh).
@@ -519,7 +564,7 @@ def build_synthetic_arm(n_ring: int = 8, seed: int = 0):
     for j in range(1, 16):
         J_reg[39 + j, :n_hand] = hand.J_regressor[j]
     # Elbow: mean of the first forearm ring.
-    J_reg[19, n_hand : n_hand + n_ring + 2] = 1.0 / (n_ring + 2)
+    J_reg[19, n_hand : n_hand + fore_ring] = 1.0 / fore_ring
     # Pelvis / shoulder chain anchored at the dummies (inert but defined).
     for j in (0, 3, 6, 9, 14, 17):
         J_reg[j, n_hand + n_fore] = 1.0
@@ -571,9 +616,13 @@ def build_synthetic_arm(n_ring: int = 8, seed: int = 0):
 
 
 def build_synthetic_arm_assets(n_ring: int = 8, seed: int = 0, uv_size: int = 128,
-                               subdivide: bool = True) -> AvatarAssets:
-    """Synthetic arm model wrapped as renderable AvatarAssets (use_arm path)."""
-    model = build_synthetic_arm(n_ring=n_ring, seed=seed)
+                               subdivide: bool = True,
+                               density: str | None = None) -> AvatarAssets:
+    """Synthetic arm model wrapped as renderable AvatarAssets (use_arm path).
+
+    density: "light" (test mesh) or "reference" (4078 render verts / 8128
+    faces — the reference arm workload density)."""
+    model = build_synthetic_arm(n_ring=n_ring, seed=seed, density=density)
     n_arm = model.arm_vert_idx.shape[0]
     coarse = build_topology(model.arm_faces, n_arm)
     arm_template = model.v_template[model.arm_vert_idx]

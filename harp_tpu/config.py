@@ -36,9 +36,18 @@ class HarpConfig:
     ambient_color: Tuple[float, float, float] = (0.5, 0.5, 0.5)
     diffuse_color: Tuple[float, float, float] = (0.4, 0.4, 0.4)
     specular_color: Tuple[float, float, float] = (0.1, 0.1, 0.1)
+    # Specular exponent of the NON-shadow phong path: the reference uses
+    # default pytorch3d Materials (renderer_helper.py:264) whose shininess
+    # is 64 (pbr_materials.py:18). The shadow path zeroes specular entirely
+    # (renderer_helper.py:441) and never sees this.
+    shininess: float = 64.0
     # Raster tile budget (1.0 = all tiles). Large-image hand fits can set
     # ~0.5: the subject occupies a minority of tiles (overflow reported).
     raster_active_fraction: float = 1.0
+    # Per-tile face-list capacity: 448 carries ~20% headroom over the peak
+    # measured at reference mesh density (scripts/probe_occupancy.py: 371
+    # hand / 362 arm across a pose jitter sweep at 448^2).
+    raster_cap: int = 448
     shadow_bias: float = 0.008
     # Light-view depth-map resolution relative to the image (1.0 = the
     # reference's full-res shadow pass; 0.5 quarters the light raster).
@@ -92,6 +101,7 @@ class HarpConfig:
         kw = dict(
             image_size=self.img_size,
             active_fraction=self.raster_active_fraction,
+            cap=self.raster_cap,
         )
         kw.update(overrides)
         return RasterConfig(**kw)

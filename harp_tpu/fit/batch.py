@@ -158,12 +158,14 @@ def fit_sequences_batch(config: HarpConfig, assets: AvatarAssets,
     for epoch in range(config.total_epoch):
         coarse_on, app_on = stage_flags(epoch, config)
         perms = np.stack([rng.permutation(n) for _ in range(S)])
-        epoch_losses = np.zeros(S)
+        # lr scales change only at epoch boundaries -> hoist out of the loop.
+        lr_scales_S = jnp.asarray([p.scale for p in plateaus], jnp.float32)
+        totals_acc = None
+        overflow_acc = None
         for s in range(steps):
             fids_S = jnp.asarray(perms[:, s * bs : (s + 1) * bs])
             key, *subs = jax.random.split(key, S + 1)
             keys_S = jnp.stack(subs)
-            lr_scales_S = jnp.asarray([p.scale for p in plateaus], jnp.float32)
             imgs_S = jnp.take_along_axis(
                 data.images, fids_S[:, :, None, None, None], axis=1
             )
@@ -176,15 +178,23 @@ def fit_sequences_batch(config: HarpConfig, assets: AvatarAssets,
                 ref_verts_S, keys_S, lr_scales_S,
                 coarse_on=coarse_on, app_on=app_on,
             )
-            epoch_losses += np.asarray(totals)
-        epoch_losses /= steps
+            # Accumulate ON DEVICE: one host sync per epoch below, not per
+            # step (a per-step sync costs ~25 ms on the tunnel — the same
+            # fix the single-sequence driver carries, fit/driver.py).
+            over = breakdown["bin_overflow"] + breakdown["active_overflow"]
+            totals_acc = totals if totals_acc is None else totals_acc + totals
+            overflow_acc = over if overflow_acc is None else overflow_acc + over
+        host = np.asarray(jnp.stack([totals_acc, overflow_acc]))
+        epoch_losses = host[0] / steps
+        overflows = host[1]
         for si in range(S):
             if coarse_on:
                 plateaus[si] = plateau_update(
                     plateaus[si], float(epoch_losses[si]),
                     config.plateau_patience, config.plateau_factor,
                 )
-            histories[si].append({"epoch": epoch, "loss": float(epoch_losses[si])})
+            histories[si].append({"epoch": epoch, "loss": float(epoch_losses[si]),
+                                  "raster_overflow": float(overflows[si])})
 
     out_params = [unstack_params(params_S, s) for s in range(S)]
     return out_params, histories

@@ -135,7 +135,7 @@ def compute_losses(params, aux, fids, batch_imgs, batch_masks, batch_masks_er,
                 verts, screen, rout, assets, R, T, config, rcfg,
                 texture, params["normal_map"], light,
                 config.ambient_color, config.diffuse_color,
-                config.specular_color,
+                config.specular_color, shininess=config.shininess,
             )
         # Masked photometric L1 with the closed-form background term for
         # inactive tiles (pred == background there).

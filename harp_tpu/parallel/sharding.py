@@ -63,8 +63,29 @@ def initialize_distributed(coordinator_address: str | None = None,
     try:
         jax.distributed.initialize(**kwargs)
     except (ValueError, RuntimeError) as e:  # single-process / already init
-        if "already initialized" not in str(e) and kwargs:
+        if "already initialized" in str(e):
+            return
+        if kwargs:
             raise
+        # No explicit coordinator: auto-discovery failed. On a real pod
+        # (worker env vars present) this is a fatal misconfiguration, not a
+        # single-host run — proceeding would silently fit N independent
+        # jobs instead of one distributed job.
+        import os
+        import warnings
+
+        pod_vars = [v for v in ("TPU_WORKER_HOSTNAMES", "TPU_WORKER_ID",
+                                "MEGASCALE_COORDINATOR_ADDRESS")
+                    if os.environ.get(v)]
+        if pod_vars:
+            raise RuntimeError(
+                f"jax.distributed.initialize() failed with pod env vars "
+                f"{pod_vars} set: {e}"
+            ) from e
+        warnings.warn(
+            f"jax.distributed.initialize() unavailable ({e}); continuing "
+            "single-process", RuntimeWarning,
+        )
 
 
 def global_batch_mesh(seq_axis: int | None = None) -> Mesh:

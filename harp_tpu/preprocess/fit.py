@@ -114,6 +114,137 @@ def fit_mano_to_vertices(model: ManoModel, target_vertices_mm: jnp.ndarray,
     }
 
 
+def fit_arm_to_vertices(model, target_vertices_mm: jnp.ndarray,
+                        epoch_coarse: int = 500, epoch_fine: int = 700,
+                        max_tries: int = 4, loss_threshold: float = 10.0):
+    """Fit SMPLXARM (rot, pose, shape, trans) to METRO's 778 MANO-subset
+    vertices (mm) — optimize_for_mano_arm_param semantics
+    (hand_utils.py:134-240): the loss compares the arm model's MANO-subset
+    verts (return_type='mano') against the target; wrist_pose stays zero
+    (the reference never passes right_wrist_pose here, so the SMPLXARM
+    forward's zero default applies); coarse phase (rot, trans) lr 1e-1,
+    fine phase (rot, pose, shape, trans) lr 1e-2, retried while
+    MSE > loss_threshold (mm^2).
+
+    Returns the per-frame pkl schema dict: joints (22, incl. elbow) / verts
+    (MANO subset) / rot / pose / shape / trans / fit_error.
+    """
+    from harp_tpu.models.smplx_arm import smplx_arm_forward
+
+    B = target_vertices_mm.shape[0]
+    target = jnp.asarray(target_vertices_mm, jnp.float32)
+
+    def fwd(p, return_type="mano"):
+        wrist = jnp.zeros((B, 3), jnp.float32)
+        return smplx_arm_forward(
+            model, p["shape"], p["rot"], p["trans"], p["pose"], wrist,
+            return_type=return_type,
+        )
+
+    def mse(p):
+        verts, _ = fwd(p)
+        return ((verts - target) ** 2).mean()
+
+    @jax.jit
+    def one_try(_key):
+        params = {
+            "rot": jnp.zeros((B, 3), jnp.float32),
+            "pose": jnp.zeros((B, 45), jnp.float32),
+            "shape": jnp.zeros((B, 10), jnp.float32),
+            # Reference inits trans to zeros (hand_utils.py:174); the target
+            # mean (meters) cuts the coarse phase's work without changing
+            # the optimum — same deviation as fit_mano_to_vertices.
+            "trans": target.mean(1) / 1000.0,
+        }
+        coarse = {"rot": params["rot"], "trans": params["trans"]}
+        coarse, _ = _adam_scan(
+            lambda cp: mse(dict(params, **cp)), coarse, 1e-1, epoch_coarse
+        )
+        params = dict(params, **coarse)
+        params, losses = _adam_scan(mse, params, 1e-2, epoch_fine)
+        return params, losses[-1]
+
+    best_params, best_loss = None, np.inf
+    for t in range(max_tries):
+        params, loss = one_try(jnp.asarray(t))
+        loss = float(loss)
+        if loss < best_loss:
+            best_params, best_loss = params, loss
+        if loss <= loss_threshold:
+            break
+
+    verts, joints = fwd(best_params, return_type="mano")
+    return {
+        "joints": joints, "verts": verts,
+        "rot": best_params["rot"], "pose": best_params["pose"],
+        "shape": best_params["shape"], "trans": best_params["trans"],
+        "fit_error": best_loss,
+    }
+
+
+def fit_nimble_to_vertices(model, target_vertices_mm: jnp.ndarray,
+                           epoch_coarse: int = 200, epoch_fine: int = 400,
+                           max_tries: int = 1, loss_threshold: float = 10.0):
+    """Fit NIMBLE (rot, 30 pose PCA, 20 shape, trans) to METRO's 778
+    MANO-topology vertices (mm) — optimize_for_nimble_param semantics
+    (hand_utils.py:244-360): the loss compares nimble_to_mano(skin verts)
+    against the target; coarse (rot, trans) lr 1e-1 x 200, fine (all)
+    lr 1e-2 x 400, a single try by default (the reference's retry loop is
+    range(1) there). Output joints are the 21 MANO-protocol joints
+    regressed from the fitted MANO surface (hand_utils.py:345-352).
+    """
+    from harp_tpu.models.nimble import (
+        nimble_forward, nimble_to_mano, mano_protocol_joints,
+    )
+
+    B = target_vertices_mm.shape[0]
+    target = jnp.asarray(target_vertices_mm, jnp.float32)
+    ncomps = model.ncomps
+
+    def mano_verts(p):
+        skin, _ = nimble_forward(
+            model, jnp.concatenate([p["rot"], p["pose"]], 1), p["shape"],
+            p["trans"],
+        )
+        return nimble_to_mano(model, skin)
+
+    def mse(p):
+        return ((mano_verts(p) - target) ** 2).mean()
+
+    @jax.jit
+    def one_try(_key):
+        params = {
+            "rot": jnp.zeros((B, 3), jnp.float32),
+            "pose": jnp.zeros((B, ncomps), jnp.float32),
+            "shape": jnp.zeros((B, model.nshape), jnp.float32),
+            "trans": target.mean(1) / 1000.0,
+        }
+        coarse = {"rot": params["rot"], "trans": params["trans"]}
+        coarse, _ = _adam_scan(
+            lambda cp: mse(dict(params, **cp)), coarse, 1e-1, epoch_coarse
+        )
+        params = dict(params, **coarse)
+        params, losses = _adam_scan(mse, params, 1e-2, epoch_fine)
+        return params, losses[-1]
+
+    best_params, best_loss = None, np.inf
+    for t in range(max_tries):
+        params, loss = one_try(jnp.asarray(t))
+        loss = float(loss)
+        if loss < best_loss:
+            best_params, best_loss = params, loss
+        if loss <= loss_threshold:
+            break
+
+    mv = mano_verts(best_params)
+    return {
+        "joints": mano_protocol_joints(model, mv), "verts": mv,
+        "rot": best_params["rot"], "pose": best_params["pose"],
+        "shape": best_params["shape"], "trans": best_params["trans"],
+        "fit_error": best_loss,
+    }
+
+
 def remove_spike(pose: jnp.ndarray, threshold: float = 1.0) -> jnp.ndarray:
     """Replace pose rows whose both neighboring deltas exceed `threshold`
     with the neighbor mean (hand_utils.remove_spike:785-801)."""

@@ -110,7 +110,7 @@ def raster_camera_view(verts, assets: AvatarAssets, R, T, config: HarpConfig,
 def _shade_pixels(verts, ids, bary, mask, assets, R, T, config: HarpConfig,
                   texture, normal_map, light_positions,
                   ambient_color, diffuse_color, specular_color,
-                  vis_map=None):
+                  vis_map=None, shininess: float = 0.0):
     """Common Phong shading given a hard rasterization.
 
     Gather-packing: per-face vertex attributes (position, normal, wedge uv)
@@ -140,7 +140,7 @@ def _shade_pixels(verts, ids, bary, mask, assets, R, T, config: HarpConfig,
     cam_center = cam_mod.camera_center(R, T)
     amb, diff, spec = shading.phong_lighting(
         points, pixel_normals, light_positions, cam_center,
-        ambient_color, diffuse_color, specular_color, shininess=0.0,
+        ambient_color, diffuse_color, specular_color, shininess=shininess,
     )
     if vis_map is not None:
         colors = (amb + diff * vis_map[..., None]) * texels + spec
@@ -166,7 +166,7 @@ def render_rgb(verts, assets: AvatarAssets, R, T, config: HarpConfig,
     return _shade_pixels(
         verts, ids, bary, mask, assets, R, T, config, texture, normal_map,
         light_positions, config.ambient_color, config.diffuse_color,
-        config.specular_color,
+        config.specular_color, shininess=config.shininess,
     )
 
 
@@ -216,7 +216,7 @@ def shade_pixels_compact(verts, screen, rout, assets: AvatarAssets, R, T,
                          config: HarpConfig, raster_cfg: RasterConfig,
                          texture, normal_map, light_positions,
                          ambient_color, diffuse_color, specular_color,
-                         vis_map=None):
+                         vis_map=None, shininess: float = 0.0):
     """Phong shading on compact tiles -> (colors (B, A, P, 3), mask)."""
     from harp_tpu.render.rasterizer import tile_pixel_coords, barycentrics_of_at
 
@@ -245,7 +245,7 @@ def shade_pixels_compact(verts, screen, rout, assets: AvatarAssets, R, T,
     cam_center = cam_mod.camera_center(R, T)
     amb, diff, spec = shading.phong_lighting(
         points, pixel_normals, light_positions, cam_center,
-        ambient_color, diffuse_color, specular_color, shininess=0.0,
+        ambient_color, diffuse_color, specular_color, shininess=shininess,
     )
     if vis_map is not None:
         colors = (amb + diff * vis_map[..., None]) * texels + spec

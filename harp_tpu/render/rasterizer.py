@@ -173,6 +173,12 @@ def _bin_faces(fv: jnp.ndarray, cfg: RasterConfig):
     nt = cfg.image_size // ts
     T = nt * nt
     S = cfg.span_tiles
+    # The pair sort key is tile_of * F + fid in int32 with sentinel 2^30;
+    # valid keys must stay below it or binning silently corrupts.
+    assert T * F < 2**30, (
+        f"binning key overflow: tiles({T}) * faces({F}) >= 2^30 — "
+        "raise RasterConfig.tile or split the scene"
+    )
     pad = math.sqrt(max(cfg.blur_px2, 0.0)) + 1e-3
 
     umin = fv[..., 0].min(-1) - pad
@@ -477,14 +483,15 @@ def _use_pallas(cfg: RasterConfig) -> bool:
         return True
     if cfg.backend == "xla":
         return False
-    # "auto": the Pallas kernel on any accelerator (measured 2.6x the XLA
-    # tile pass at 448^2 x 8, exact id parity on device), XLA on CPU (where
-    # Mosaic would need interpret mode).
+    # "auto": the Pallas kernel on TPU only (measured 2.6x the XLA tile pass
+    # at 448^2 x 8, exact id parity on device). The kernel uses TPU-only
+    # Mosaic constructs (PrefetchScalarGridSpec), so CUDA/ROCm backends get
+    # the XLA tile pass like CPU does.
     try:
         platform = jax.devices()[0].platform
     except Exception:  # pragma: no cover - no backend at all
         return False
-    return platform != "cpu"
+    return platform == "tpu"
 
 
 def get_ids(verts_px, faces, cfg: RasterConfig, need_soft: bool = True,

@@ -163,10 +163,13 @@ def phong_lighting(
     vdir = safe_normalize(vdir)
     reflect = -ldir + 2.0 * cos * nrm
     alpha = jax.nn.relu((vdir * reflect).sum(-1, keepdims=True)) * (cos > 0)
-    # alpha^0 := 1 (torch.pow semantics the reference relies on with
-    # shininess=0, making specular a constant term). Special-cased: the
-    # derivative of alpha^0 is 0 a.e. but autodiff of power() emits
-    # 0 * alpha^-1 = NaN at alpha == 0.
+    # The reference's non-shadow phong path uses pytorch3d's default
+    # Materials with shininess=64 (renderer_helper.py:264, pbr_materials.py:18)
+    # — a tight highlight; its shadow path has specular_color=(0,0,0)
+    # (renderer_helper.py:441), where shininess is irrelevant. shininess=0
+    # keeps torch.pow's alpha^0 := 1 semantics as a constant specular term,
+    # special-cased because autodiff of power() emits 0 * alpha^-1 = NaN at
+    # alpha == 0.
     if isinstance(shininess, (int, float)) and float(shininess) == 0.0:
         spec = jnp.asarray(specular_color) * jnp.ones_like(alpha)
     else:

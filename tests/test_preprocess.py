@@ -101,3 +101,58 @@ def test_frame_pkl_roundtrip(tmp_path):
     loaded = load_frame_pkl(path)
     assert loaded["pose"].shape == (1, 45)
     assert loaded["cam"].shape == (3,)
+
+
+def test_fit_arm_recovers_vertices():
+    """GT recovery through the SMPLXARM fit-to-vertices variant
+    (optimize_for_mano_arm_param, hand_utils.py:134-240)."""
+    from harp_tpu.assets import build_synthetic_arm
+    from harp_tpu.models.smplx_arm import smplx_arm_forward
+    from harp_tpu.preprocess import fit_arm_to_vertices
+
+    model = build_synthetic_arm()
+    rng = np.random.RandomState(2)
+    B = 2
+    shape = (0.2 * rng.randn(B, 10)).astype(np.float32)
+    rot = (0.15 * rng.randn(B, 3)).astype(np.float32)
+    trans = (0.03 * rng.randn(B, 3)).astype(np.float32)
+    pose = (0.25 * rng.randn(B, 45)).astype(np.float32)
+    target, _ = smplx_arm_forward(
+        model, jnp.asarray(shape), jnp.asarray(rot), jnp.asarray(trans),
+        jnp.asarray(pose), jnp.zeros((B, 3)), return_type="mano",
+    )
+    out = fit_arm_to_vertices(model, target, epoch_coarse=150,
+                              epoch_fine=400, max_tries=2)
+    assert out["fit_error"] <= 10.0, out["fit_error"]
+    err = np.abs(np.asarray(out["verts"]) - np.asarray(target)).mean()
+    assert err < 3.0, err
+    assert out["pose"].shape == (B, 45)
+    assert out["joints"].shape[1] >= 21
+
+
+def test_fit_nimble_recovers_vertices():
+    """GT recovery through the NIMBLE fit-to-vertices variant
+    (optimize_for_nimble_param, hand_utils.py:244-360)."""
+    from harp_tpu.models.nimble import (
+        build_synthetic_nimble, nimble_forward, nimble_to_mano,
+    )
+    from harp_tpu.preprocess import fit_nimble_to_vertices
+
+    model = build_synthetic_nimble()
+    rng = np.random.RandomState(4)
+    B = 2
+    posed = np.zeros((B, 3 + model.ncomps), np.float32)
+    posed[:, :3] = 0.15 * rng.randn(B, 3)
+    posed[:, 3:] = 0.3 * rng.randn(B, model.ncomps)
+    shape = (0.2 * rng.randn(B, model.nshape)).astype(np.float32)
+    trans = (0.03 * rng.randn(B, 3)).astype(np.float32)
+    skin, _ = nimble_forward(model, jnp.asarray(posed), jnp.asarray(shape),
+                             jnp.asarray(trans))
+    target = nimble_to_mano(model, skin)
+    out = fit_nimble_to_vertices(model, target, epoch_coarse=150,
+                                 epoch_fine=400)
+    assert out["fit_error"] <= 10.0, out["fit_error"]
+    err = np.abs(np.asarray(out["verts"]) - np.asarray(target)).mean()
+    assert err < 3.0, err
+    assert out["pose"].shape == (B, model.ncomps)
+    assert out["joints"].shape == (B, 21, 3)

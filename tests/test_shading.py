@@ -75,3 +75,49 @@ def test_phong_diffuse_grazing():
     np.testing.assert_allclose(np.asarray(diff), 0.0, atol=1e-5)
     # cos <= 0 -> alpha = 0 but 0^0 = 1 (reference quirk): spec stays.
     np.testing.assert_allclose(np.asarray(spec), 0.1, atol=1e-5)
+
+
+def test_specular_shininess64_highlight_falloff():
+    """The non-shadow phong path must render the pytorch3d Materials default
+    tight highlight (shininess=64, reference renderer_helper.py:264 +
+    pbr_materials.py:18), not a constant specular term.
+
+    Analytic pin: for a flat +z surface, light and camera both on the +z
+    axis, the specular factor at a pixel whose normal makes the reflection
+    miss the view by angle theta is cos(theta)^64 — the half-width where
+    the factor drops to 0.5 is ~9.5 deg. A constant specular (the old
+    shininess=0 behavior) fails both pins below.
+    """
+    # Normals tilted by increasing angles; reflection of an axis-aligned
+    # light about the normal deviates from the view direction by 2*tilt.
+    angles = np.deg2rad(np.array([0.0, 2.0, 5.0, 10.0, 20.0], np.float32))
+    nrm = np.stack(
+        [np.sin(angles), np.zeros_like(angles), np.cos(angles)], axis=-1
+    )
+    pts = jnp.zeros((1, 1, 5, 3))
+    light = jnp.asarray([[0.0, 0.0, 100.0]])  # ~directional from +z
+    campos = jnp.asarray([[0.0, 0.0, 100.0]])
+    _, _, spec = shading.phong_lighting(
+        pts, jnp.asarray(nrm)[None, None], light, campos,
+        (0.5,) * 3, (0.4,) * 3, (1.0,) * 3, shininess=64.0,
+    )
+    spec = np.asarray(spec)[0, 0, :, 0]
+    # cos(2*tilt)^64 (light at finite distance: tolerance loose but the
+    # shape is unmistakable vs constant specular).
+    expected = np.cos(2 * angles) ** 64
+    np.testing.assert_allclose(spec, expected, atol=0.02)
+    assert spec[0] > 0.98 and spec[-1] < 0.01  # tight falloff, not constant
+    # Gradient must be finite at alpha == 0 (grazing/backside pixels).
+    g = jax.grad(
+        lambda n: shading.phong_lighting(
+            pts, n, light, campos, (0.5,) * 3, (0.4,) * 3, (1.0,) * 3,
+            shininess=64.0,
+        )[2].sum()
+    )(jnp.asarray(-nrm)[None, None])  # flipped normals: cos<0, alpha=0
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_default_config_shininess_is_64():
+    from harp_tpu.config import HarpConfig
+
+    assert HarpConfig().shininess == 64.0
