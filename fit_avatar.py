@@ -60,6 +60,16 @@ def parse_args():
                         "counters in logs flag an insufficient budget), "
                         "1.0 below")
     p.add_argument("--debug-nans", action="store_true")
+    p.add_argument("--mesh-devices", type=int, default=0,
+                   help="fit THIS sequence data-parallel over N devices "
+                        "(frame-axis sharding; batch-size must divide by N); "
+                        "0 = single device")
+    p.add_argument("--resume-orbax", default="",
+                   help="resume a fit mid-protocol from an Orbax checkpoint "
+                        "directory (restores params+optimizer+epoch+lr "
+                        "scale; pairs with --checkpoint-backend orbax)")
+    p.add_argument("--checkpoint-backend", default="pickle",
+                   choices=["pickle", "orbax"])
     return p.parse_args()
 
 
@@ -102,6 +112,7 @@ def main():
         base_output_dir=args.out,
         metro_output_dir=args.metro_output_dir,
         image_dir=args.image_dir,
+        checkpoint_backend=args.checkpoint_backend,
     )
     os.makedirs(config.base_output_dir, exist_ok=True)
     config.to_yaml(os.path.join(config.base_output_dir, "config.yaml"))
@@ -191,6 +202,21 @@ def main():
     params, aux = init_params(input_params, assets, config)
     if config.start_from:
         params = prepare_resume_params(config.start_from, input_params, config)
+    resume_payload = None
+    if args.resume_orbax:
+        # Mid-protocol resume: params + optimizer moments + epoch cursor +
+        # plateau lr state, from either checkpoint backend.
+        from harp_tpu.fit.resume import load_fit_checkpoint
+
+        resume_payload = load_fit_checkpoint(args.resume_orbax, params, config)
+        params = resume_payload["params"]
+        print(f"resuming at epoch {int(resume_payload['epoch']) + 1} "
+              f"from {args.resume_orbax}")
+    mesh = None
+    if args.mesh_devices:
+        from harp_tpu.parallel.sharding import make_mesh
+
+        mesh = make_mesh(args.mesh_devices)
 
     # --- fit ---
     # out_dir enables the reference driver's observability: per-epoch JSONL
@@ -205,6 +231,7 @@ def main():
         params, history = fit_sequence(
             config, assets, data, params, aux, rcfg=rcfg,
             out_dir=config.base_output_dir, image_log_every=10,
+            mesh=mesh, resume=resume_payload,
             **val_kwargs,
         )
     save_result(params, config.base_output_dir, test=config.known_appearance)

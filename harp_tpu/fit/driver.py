@@ -235,7 +235,8 @@ def fit_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
                  out_dir: str | None = None, image_log_every: int = 0,
                  checkpoint_every: int = 200, extras: dict | None = None,
                  val_data: FitData | None = None,
-                 val_params: dict | None = None, val_log_every: int = 20):
+                 val_params: dict | None = None, val_log_every: int = 20,
+                 mesh=None, resume: dict | None = None):
     """Run the staged optimization. Returns (params, history).
 
     out_dir enables observability (the reference's TensorBoard scalars +
@@ -247,12 +248,56 @@ def fit_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
     `val_log_every` epochs (reference visualize_val,
     optimize_sequence.py:97-171; shared shape/appearance are taken live
     from the optimized params, per-frame rows from `val_params`).
+
+    mesh: optional jax.sharding.Mesh — multi-chip fitting of THIS sequence
+    (SURVEY §2 DP row): per-frame parameter rows, sequence data, and every
+    minibatch are sharded over the mesh's first axis; shared parameters are
+    replicated and their gradient psum is inserted by GSPMD. The minibatch
+    permutation gather stays on device (a jitted gather with sharded output
+    — no host round trip, shardings preserved). Requires batch_size
+    divisible by the mesh device count.
+
+    resume: optional checkpoint payload ({opt_states, epoch, plateau_scale},
+    the load_checkpoint / OrbaxCheckpointer.restore layout) — continues a
+    killed fit mid-protocol: optimizer moments, the epoch cursor (training
+    resumes at epoch+1, so stage flags line up), and the plateau lr scale
+    are restored; pass the checkpoint's params through `params` as usual.
     """
     from harp_tpu.fit.optimizer import build_optimizers, PlateauState, plateau_update
 
     rcfg = rcfg or config.raster_config()
     if vgg is None and config.w_vgg > 0:
         vgg = Vgg16Features.create(weights_path=config.vgg_weights or None)
+
+    gather_batch = lambda a, f: a[f]
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from harp_tpu.parallel.sharding import shard_params, frame_sharding
+
+        n_dev = mesh.devices.size
+        bs_eff = min(config.batch_size, data.num_frames)
+        if bs_eff % n_dev != 0:
+            raise ValueError(
+                f"batch_size {bs_eff} must be divisible by the mesh's "
+                f"{n_dev} devices for frame-axis sharding"
+            )
+        fsh = frame_sharding(mesh)
+        rsh = NamedSharding(mesh, P())
+        params = shard_params(mesh, params)
+        aux = {
+            "init_joints": jax.device_put(aux["init_joints"], fsh),
+            **{k: jax.device_put(v, rsh) for k, v in aux.items()
+               if k != "init_joints"},
+        }
+        data = FitData(
+            images=jax.device_put(data.images, fsh),
+            masks=jax.device_put(data.masks, fsh),
+            masks_eroded=jax.device_put(data.masks_eroded, fsh),
+        )
+        # Device-side permutation gather with frame-sharded output: the
+        # epoch loop never pulls image data to the host.
+        gather_batch = jax.jit(lambda a, f: a[f], out_shardings=fsh)
+
     txs, opt_states, masks = build_optimizers(params, config)
     train_step = make_train_step(assets, config, rcfg, vgg, txs, masks, extras)
 
@@ -269,8 +314,14 @@ def fit_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
         orbax_ckpt = OrbaxCheckpointer(out_dir)
 
     # ARAP reference mesh: frame 0 at the initial parameters (reference :431).
-    ref_verts, _ = pipeline.mesh_forward(params, jnp.asarray([0]), assets, config)
-    ref_verts = jax.lax.stop_gradient(ref_verts[0])
+    if resume is not None and "ref_verts" in (resume.get("extra") or {}):
+        # Exact-resume: the ARAP reference is frame 0 at the fit's ORIGINAL
+        # initial parameters; recomputing it from checkpointed params would
+        # quietly change the loss mid-protocol.
+        ref_verts = jnp.asarray(resume["extra"]["ref_verts"])
+    else:
+        ref_verts, _ = pipeline.mesh_forward(params, jnp.asarray([0]), assets, config)
+        ref_verts = jax.lax.stop_gradient(ref_verts[0])
 
     n = data.num_frames
     bs = min(config.batch_size, n)
@@ -279,8 +330,22 @@ def fit_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
     key = jax.random.PRNGKey(seed)
     plateau = PlateauState()
     history = []
+    start_epoch = 0
+    if resume is not None:
+        opt_states = jax.tree.map(jnp.asarray, resume["opt_states"])
+        pl = (resume.get("extra") or {}).get("plateau")
+        plateau = (PlateauState(**{k: type(getattr(plateau, k))(v)
+                                   for k, v in pl.items()}) if pl else
+                   PlateauState(scale=float(resume.get("plateau_scale", 1.0))))
+        start_epoch = int(resume["epoch"]) + 1
+        # Replay the RNG streams so a resumed fit sees the same permutations
+        # and texture-reg keys as an uninterrupted one.
+        for _ in range(start_epoch):
+            rng.permutation(n)
+            for _ in range(steps):
+                key, _ = jax.random.split(key)
 
-    for epoch in range(config.total_epoch):
+    for epoch in range(start_epoch, config.total_epoch):
         coarse_on, app_on = stage_flags(epoch, config)
         perm = rng.permutation(n)
         total_acc = None
@@ -290,7 +355,9 @@ def fit_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
             key, sub = jax.random.split(key)
             params, opt_states, total, breakdown = train_step(
                 params, opt_states, aux, fids,
-                data.images[fids], data.masks[fids], data.masks_eroded[fids],
+                gather_batch(data.images, fids),
+                gather_batch(data.masks, fids),
+                gather_batch(data.masks_eroded, fids),
                 ref_verts, sub, jnp.asarray(plateau.scale, jnp.float32),
                 coarse_on=coarse_on, app_on=app_on,
             )
@@ -327,14 +394,17 @@ def fit_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
             import os
 
             save_result(params, out_dir, test=config.known_appearance)
+            plateau_extra = {"plateau": dataclasses.asdict(plateau),
+                             "ref_verts": np.asarray(ref_verts)}
             if orbax_ckpt is not None:
                 # Async: device-to-host + write happen in the background,
                 # the epoch loop does not block on storage.
-                orbax_ckpt.save(epoch, params, opt_states, plateau.scale)
+                orbax_ckpt.save(epoch, params, opt_states, plateau.scale,
+                                extra=plateau_extra)
             else:
                 save_checkpoint(
                     os.path.join(out_dir, "checkpoint.pkl"), params, opt_states,
-                    epoch, plateau.scale,
+                    epoch, plateau.scale, extra=plateau_extra,
                 )
         if callback is not None:
             callback(epoch, params, history[-1])

@@ -66,3 +66,51 @@ def prepare_resume_params(start_from: str, input_params: dict,
 
 def _pose_already_opt(config: HarpConfig) -> bool:
     return getattr(config, "pose_already_opt", False)
+
+
+def load_fit_checkpoint(path: str, params_template: dict,
+                        config: HarpConfig) -> dict:
+    """Load a mid-protocol fit checkpoint from either backend.
+
+    path: a checkpoint.pkl file, a run directory containing one, or a run
+    directory containing an `orbax/` checkpoint tree. For Orbax, a `like`
+    payload is built from `params_template` + freshly-initialized optimizer
+    states so optax's named-tuple states restore with their original pytree
+    structure (ADVICE round-2: restore() without `like` returns plain
+    dicts/lists that optax cannot consume).
+
+    Returns the payload dict {params, opt_states, epoch, plateau_scale,
+    extra} — feed `payload["params"]` to fit_sequence's `params` and the
+    payload itself to its `resume=`.
+    """
+    import os
+
+    from harp_tpu.fit.optimizer import build_optimizers
+    from harp_tpu.utils.io import load_checkpoint
+
+    if os.path.isdir(os.path.join(path, "orbax")) or os.path.basename(
+            os.path.normpath(path)) == "orbax":
+        from harp_tpu.utils.orbax_io import OrbaxCheckpointer
+
+        run_dir = (os.path.dirname(os.path.normpath(path))
+                   if os.path.basename(os.path.normpath(path)) == "orbax"
+                   else path)
+        ckpt = OrbaxCheckpointer(run_dir)
+        try:
+            _, opt_states_like, _ = build_optimizers(params_template, config)
+            n_verts = params_template["verts_disps"].shape[0]
+            like = {
+                "params": params_template,
+                "opt_states": opt_states_like,
+                "epoch": 0,
+                "plateau_scale": 1.0,
+                "extra": {"plateau": {"best": 0.0, "bad_epochs": 0,
+                                      "scale": 1.0},
+                          "ref_verts": np.zeros((n_verts, 3), np.float32)},
+            }
+            return ckpt.restore(like=like)
+        finally:
+            ckpt.close()
+    if os.path.isdir(path):
+        path = os.path.join(path, "checkpoint.pkl")
+    return load_checkpoint(path)

@@ -47,12 +47,15 @@ def initialize_distributed(coordinator_address: str | None = None,
     meshes; GSPMD routes frame-axis collectives over ICI within a slice and
     DCN across slices with no further code changes.
     """
+    # NOTE: do not probe jax.process_count() here — it INITIALIZES the XLA
+    # backend, after which jax.distributed.initialize() refuses to run.
     try:
-        already = jax.process_count() > 1
+        from jax._src import distributed as _dist
+
+        if _dist.global_state.client is not None:  # already initialized
+            return
     except Exception:
-        already = False
-    if already:
-        return
+        pass
     kwargs = {}
     if coordinator_address is not None:
         kwargs = dict(

@@ -85,3 +85,78 @@ def test_global_batch_mesh_axes():
     assert mesh.devices.shape[0] == 2
     mesh1 = global_batch_mesh()
     assert mesh1.devices.size == mesh.devices.size
+
+
+def _tiny_fit_setup(total_epoch):
+    import dataclasses as dc
+    import jax
+    import jax.numpy as jnp
+    from harp_tpu.assets import build_synthetic_assets
+    from harp_tpu.config import HarpConfig
+    from harp_tpu.data.synthetic import make_synthetic_sequence
+    from harp_tpu.fit import init_params
+    from harp_tpu.fit.driver import FitData
+    from harp_tpu.render.rasterizer import RasterConfig
+
+    assets = build_synthetic_assets(uv_size=32)
+    config = HarpConfig(
+        img_size=32, focal_length=2000.0 * 32 / 448.0, texture_size=32,
+        self_shadow=False, w_vgg=0.0, batch_size=4,
+        total_epoch=total_epoch, training_stage=(2, 2, 1),
+    )
+    rcfg = RasterConfig(image_size=32, tile=8, cap=64, bin_chunk=8,
+                        tile_chunk=4, face_chunk=32, faces_per_pixel=4)
+    images, masks, masks_er, gt, init = make_synthetic_sequence(
+        assets, config, rcfg, n_frames=4, seed=0
+    )
+    data = FitData(images=images, masks=masks, masks_eroded=masks_er)
+    params, aux = init_params(init, assets, config)
+    return assets, config, rcfg, data, params, aux
+
+
+def test_killed_and_resumed_fit_matches_uninterrupted(tmp_path):
+    """A fit killed after a checkpoint and resumed via load_fit_checkpoint
+    must reproduce the uninterrupted fit exactly: optimizer moments, epoch
+    cursor, plateau state, AND the rng streams (permutations + texture-reg
+    keys) are all restored/replayed (VERDICT round-2 #6b)."""
+    import dataclasses as dc
+    import jax
+    import numpy as np
+    from harp_tpu.fit.driver import fit_sequence
+    from harp_tpu.fit.resume import load_fit_checkpoint
+
+    assets, config, rcfg, data, params, aux = _tiny_fit_setup(5)
+    params_host = jax.tree.map(np.asarray, params)
+
+    # Uninterrupted 5-epoch fit.
+    import jax.numpy as jnp
+    p_full, h_full = fit_sequence(
+        config, assets, data, jax.tree.map(jnp.asarray, params_host),
+        dict(aux), rcfg=rcfg, seed=0,
+    )
+    p_full = jax.tree.map(np.asarray, p_full)
+
+    # "Killed" after epoch 2 (checkpoint_every=2 saves at epoch 2), using
+    # the ORBAX backend, then resumed for epochs 3-4.
+    cfg3 = dc.replace(config, total_epoch=3, checkpoint_backend="orbax")
+    out_dir = str(tmp_path / "run")
+    fit_sequence(
+        cfg3, assets, data, jax.tree.map(jnp.asarray, params_host),
+        dict(aux), rcfg=rcfg, seed=0, out_dir=out_dir, checkpoint_every=2,
+    )
+    payload = load_fit_checkpoint(
+        out_dir, jax.tree.map(jnp.asarray, params_host), config)
+    assert int(payload["epoch"]) == 2
+    p_res, h_res = fit_sequence(
+        config, assets, data, payload["params"], dict(aux), rcfg=rcfg,
+        seed=0, resume=payload,
+    )
+    assert [h["epoch"] for h in h_res] == [3, 4]
+    for k in p_full:
+        np.testing.assert_allclose(
+            np.asarray(p_res[k]), p_full[k], rtol=1e-6, atol=1e-7,
+            err_msg=f"param {k} diverged after resume",
+        )
+    # Loss history of the resumed epochs matches the uninterrupted run.
+    for a, b in zip(h_full[3:], h_res):
+        np.testing.assert_allclose(a["loss"], b["loss"], rtol=1e-5)
