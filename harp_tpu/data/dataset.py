@@ -53,12 +53,18 @@ def _load_image(path: str, mask: bool = False) -> np.ndarray:
 def load_sequences(metro_output_dir: str, image_dir: str, seq_list,
                    use_smooth_seq: bool = True,
                    average_cam_sequence: bool = False,
-                   model_type: str = "harp"):
+                   model_type: str = "harp",
+                   use_native: bool = True):
     """Load and stack a list of sequences.
 
     Returns (mano_params, images, masks, masks_eroded) with every array
     stacked over the concatenated frame axis, matching the reference's
     combine_dict_to_batch layout (data_util.py:54-73).
+
+    use_native: decode JPEGs and erode masks through the threaded C++
+    frameloader (harp_tpu/native/frameloader.cpp — the replacement for the
+    reference's 20-worker DataLoader, optimize_sequence.py:399); falls back
+    to the PIL path automatically when the extension is unavailable.
     """
     import jax.numpy as jnp
 
@@ -96,6 +102,18 @@ def load_sequences(metro_output_dir: str, image_dir: str, seq_list,
         ]
         mano_params[k] = np.stack(rows).astype(np.float32)
 
+    native = None
+    if use_native:
+        from harp_tpu.native import load_frameloader
+
+        native = load_frameloader()
+    if native is not None:
+        from harp_tpu.native import decode_jpeg_batch, erode_masks
+
+        images = decode_jpeg_batch(img_paths)  # float32 in [0,1]
+        masks = decode_jpeg_batch(mask_paths, gray=True)
+        masks_eroded = erode_masks(masks, iterations=2)
+        return mano_params, images, masks, masks_eroded
     images = np.stack([_load_image(p) for p in img_paths])
     masks = np.stack([_load_image(p, mask=True) for p in mask_paths])
     masks_j = jnp.asarray(masks)

@@ -57,8 +57,16 @@ def _cumsum_sublane(x: jnp.ndarray) -> jnp.ndarray:
     return c
 
 
-def _kernel(counts_ref, act_ref, fvt_ref, hard_ref, soft_ref, ssum_ref,
-            *, cfg: RasterConfig, K: int, nt: int, A: int):
+def _kernel(counts_ref, act_ref, fvt_ref, *out_refs,
+            cfg: RasterConfig, K: int, nt: int, A: int,
+            need_soft: bool = True):
+    if need_soft:
+        hard_ref, soft_ref, ssum_ref = out_refs
+    else:
+        # Depth-only mode (e.g. the shadow light pass): the soft K-slot
+        # bookkeeping, hit cumsums, and the softplus coverage sum are all
+        # statically elided — only the argmin-depth raster remains.
+        (hard_ref,) = out_refs
     ts = cfg.tile
     P = ts * ts
     b = pl.program_id(0)
@@ -111,20 +119,24 @@ def _kernel(counts_ref, act_ref, fvt_ref, hard_ref, soft_ref, ssum_ref,
                 & (z1 > znear) & (z2 > znear)        # (FG, 1)
             inside = (b0 >= 0) & (b1 >= 0) & (b2 >= 0) & valid
 
-            def seg_d2(ax, ay, bx, by):
-                abx, aby = bx - ax, by - ay
-                apx, apy = px - ax, py - ay
-                dn = abx * abx + aby * aby + 1e-12
-                tt = jnp.clip((apx * abx + apy * aby) / dn, 0.0, 1.0)
-                dx = apx - tt * abx
-                dy = apy - tt * aby
-                return dx * dx + dy * dy
+            if need_soft:
+                def seg_d2(ax, ay, bx, by):
+                    abx, aby = bx - ax, by - ay
+                    apx, apy = px - ax, py - ay
+                    dn = abx * abx + aby * aby + 1e-12
+                    tt = jnp.clip((apx * abx + apy * aby) / dn, 0.0, 1.0)
+                    dx = apx - tt * abx
+                    dy = apy - tt * aby
+                    return dx * dx + dy * dy
 
-            d2 = jnp.minimum(
-                jnp.minimum(seg_d2(x0, y0, x1, y1), seg_d2(x1, y1, x2, y2)),
-                seg_d2(x2, y2, x0, y0),
-            )
-            signed = jnp.where(inside, -d2, d2)      # (FG, P)
+                # The edge-distance stack is the most expensive part of the
+                # pair work — statically elided in depth-only mode.
+                d2 = jnp.minimum(
+                    jnp.minimum(seg_d2(x0, y0, x1, y1),
+                                seg_d2(x1, y1, x2, y2)),
+                    seg_d2(x2, y2, x0, y0),
+                )
+                signed = jnp.where(inside, -d2, d2)  # (FG, P)
 
             # Hard raster: group argmin depth, first-slot tie-break, merged
             # with the running state by strict less-than (keeps the earliest
@@ -139,52 +151,61 @@ def _kernel(counts_ref, act_ref, fvt_ref, hard_ref, soft_ref, ssum_ref,
             zmin = jnp.where(better, zmin_g, zmin)
             hard = jnp.where(better, slot_g, hard)
 
-            # Soft raster: record the first K within-blur faces in bin-list
-            # order. pos = overall hit ordinal; at most one face per pixel
-            # matches each k, extracted with a sublane min-reduction.
-            hit = valid & (signed <= blur_px2)       # (FG, P)
-            pos = cnt + _cumsum_sublane(hit.astype(jnp.int32)) - 1
-            slot_or_big = jnp.where(hit, gslot, BIG)
-            for k in range(K):
-                sk = jnp.min(jnp.where(pos == k, slot_or_big, BIG),
-                             axis=0, keepdims=True)  # (1, P)
-                sid[k] = jnp.where(sk < BIG, sk, sid[k])
-            cnt = cnt + jnp.sum(hit.astype(jnp.int32), axis=0, keepdims=True)
-            # Coverage log-sum over ALL within-blur faces (not just the K
-            # recorded): log(1-p) = -softplus(-d/sigma). Makes the
-            # silhouette alpha FORWARD free.
-            contrib = -jax.nn.softplus(-(signed * ndc2) * inv_sigma)
-            ssum = ssum + jnp.sum(jnp.where(hit, contrib, 0.0), axis=0,
-                                  keepdims=True)
+            if need_soft:
+                # Soft raster: record the first K within-blur faces in
+                # bin-list order. pos = overall hit ordinal; at most one
+                # face per pixel matches each k, extracted with a sublane
+                # min-reduction.
+                hit = valid & (signed <= blur_px2)       # (FG, P)
+                pos = cnt + _cumsum_sublane(hit.astype(jnp.int32)) - 1
+                slot_or_big = jnp.where(hit, gslot, BIG)
+                for k in range(K):
+                    sk = jnp.min(jnp.where(pos == k, slot_or_big, BIG),
+                                 axis=0, keepdims=True)  # (1, P)
+                    sid[k] = jnp.where(sk < BIG, sk, sid[k])
+                cnt = cnt + jnp.sum(hit.astype(jnp.int32), axis=0,
+                                    keepdims=True)
+                # Coverage log-sum over ALL within-blur faces (not just the
+                # K recorded): log(1-p) = -softplus(-d/sigma). Makes the
+                # silhouette alpha FORWARD free.
+                contrib = -jax.nn.softplus(-(signed * ndc2) * inv_sigma)
+                ssum = ssum + jnp.sum(jnp.where(hit, contrib, 0.0), axis=0,
+                                      keepdims=True)
             return zmin, hard, cnt, ssum, sid
 
         zmin0 = jnp.full((1, P), inf, jnp.float32)
         hard0 = jnp.full((1, P), -1, jnp.int32)
         cnt0 = jnp.zeros((1, P), jnp.int32)
         ssum0 = jnp.zeros((1, P), jnp.float32)
-        sid0 = [jnp.full((1, P), -1, jnp.int32) for _ in range(K)]
+        n_soft = K if need_soft else 0
+        sid0 = [jnp.full((1, P), -1, jnp.int32) for _ in range(n_soft)]
         n_groups = (n + FG - 1) // FG
         zmin, hard, _, ssum, sid = jax.lax.fori_loop(
             0, n_groups, group_body, (zmin0, hard0, cnt0, ssum0, sid0)
         )
         hard_ref[0, j] = jnp.where(zmin < inf, hard, -1)[0]
-        ssum_ref[0, j] = ssum[0]
-        for k in range(K):
-            soft_ref[0, j, k] = sid[k][0]
+        if need_soft:
+            ssum_ref[0, j] = ssum[0]
+            for k in range(K):
+                soft_ref[0, j, k] = sid[k][0]
 
     for j in range(TC):
         tile_body(j)
 
 
-def pallas_rasterize(verts_px, faces, cfg: RasterConfig, interpret: bool = False):
+def pallas_rasterize(verts_px, faces, cfg: RasterConfig, interpret: bool = False,
+                     need_soft: bool = True):
     """Fused soft+hard rasterization ids via the Pallas tile kernel.
 
     Returns (soft_ids (B, H, W, K) int32 — first K within-blur faces in
     bin-list order, soft_sum (B, H, W) f32 coverage log-sum, hard_ids
     (B, H, W) int32). Identical id outputs to the XLA `rasterize`.
     interpret=True runs in the Pallas interpreter (CPU tests).
+    need_soft=False returns (None, None, hard_ids) from the depth-only
+    kernel.
     """
-    out = pallas_raster_compact(verts_px, faces, cfg, interpret=interpret)
+    out = pallas_raster_compact(verts_px, faces, cfg, interpret=interpret,
+                                need_soft=need_soft)
     B = verts_px.shape[0]
     T = (cfg.image_size // cfg.tile) ** 2
     P = cfg.tile * cfg.tile
@@ -197,19 +218,25 @@ def pallas_rasterize(verts_px, faces, cfg: RasterConfig, interpret: bool = False
         return _untile(full.at[brow, act_idx].set(x), cfg)
 
     hard_ids = scatter(out["hard_ids"], -1)
+    if not need_soft:
+        return None, None, hard_ids
     soft_ids = scatter(out["soft_ids"], -1, (K,))
     soft_sum = scatter(out["soft_sum"], jnp.float32(0.0))
     return soft_ids, soft_sum, hard_ids
 
 
-@partial(jax.jit, static_argnames=("cfg", "interpret"))
+@partial(jax.jit, static_argnames=("cfg", "interpret", "need_soft"))
 def pallas_raster_compact(verts_px, faces, cfg: RasterConfig,
-                          interpret: bool = False):
+                          interpret: bool = False, need_soft: bool = True):
     """Compact active-tile rasterization: returns a dict with act_idx
     (B, A), soft_ids (B, A, P, K), soft_sum (B, A, P), hard_ids (B, A, P),
     bin_overflow (B,), active_overflow (B,) — the same contract as
     rasterizer._rasterize_ids_compact, produced in ONE tile pass with no
-    full-image scatter."""
+    full-image scatter.
+
+    need_soft=False (depth-only: shadow light passes) statically elides the
+    soft-list/coverage work from the kernel AND the packed-buffer residuals
+    — only act_idx, hard_ids, and the overflow counters are returned."""
     from harp_tpu.render.rasterizer import as_faces_array
 
     faces = as_faces_array(faces)
@@ -271,43 +298,51 @@ def pallas_raster_compact(verts_px, faces, cfg: RasterConfig,
     fvt = jnp.where((tile_ids_a >= 0).reshape(B, A * cfg.cap)[:, :, None], fvt, 0.0)
     fvt = fvt.reshape(B, A // TC, TC, cfg.cap, ROW)
 
-    kernel = partial(_kernel, cfg=cfg, K=K, nt=nt, A=A)
+    kernel = partial(_kernel, cfg=cfg, K=K, nt=nt, A=A, need_soft=need_soft)
+    hard_spec = pl.BlockSpec((1, TC, P), lambda b, t, c, a: (b * (A // TC) + t, 0, 0))
+    hard_shape = jax.ShapeDtypeStruct((B * (A // TC), TC, P), jnp.int32)
+    out_specs = [hard_spec]
+    out_shapes = [hard_shape]
+    if need_soft:
+        out_specs += [
+            pl.BlockSpec((1, TC, K, P), lambda b, t, c, a: (b * (A // TC) + t, 0, 0, 0)),
+            pl.BlockSpec((1, TC, P), lambda b, t, c, a: (b * (A // TC) + t, 0, 0)),
+        ]
+        out_shapes += [
+            jax.ShapeDtypeStruct((B * (A // TC), TC, K, P), jnp.int32),
+            jax.ShapeDtypeStruct((B * (A // TC), TC, P), jnp.float32),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, A // TC),
         in_specs=[
             pl.BlockSpec((1, 1, TC, cfg.cap, ROW), lambda b, t, c, a: (b, t, 0, 0, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((1, TC, P), lambda b, t, c, a: (b * (A // TC) + t, 0, 0)),
-            pl.BlockSpec((1, TC, K, P), lambda b, t, c, a: (b * (A // TC) + t, 0, 0, 0)),
-            pl.BlockSpec((1, TC, P), lambda b, t, c, a: (b * (A // TC) + t, 0, 0)),
-        ],
+        out_specs=out_specs,
     )
-    hard, soft, ssum = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((B * (A // TC), TC, P), jnp.int32),
-            jax.ShapeDtypeStruct((B * (A // TC), TC, K, P), jnp.int32),
-            jax.ShapeDtypeStruct((B * (A // TC), TC, P), jnp.float32),
-        ],
+        out_shape=out_shapes,
         interpret=interpret,
     )(counts_a, act_idx_k.reshape(-1), fvt)
 
-    return {
+    out = {
         "act_idx": act_idx,
-        "soft_ids": jnp.moveaxis(soft.reshape(B, A, K, P), 2, 3)[:, :A_eff],
-        "soft_sum": ssum.reshape(B, A, P).astype(jnp.float32)[:, :A_eff],
-        "hard_ids": hard.reshape(B, A, P)[:, :A_eff],
+        "hard_ids": outs[0].reshape(B, A, P)[:, :A_eff],
         "bin_overflow": (counts > cfg.cap).sum(axis=-1),
         "active_overflow": jnp.maximum((counts > 0).sum(-1) - A_eff, 0),
+    }
+    if need_soft:
+        _, soft, ssum = outs
+        out["soft_ids"] = jnp.moveaxis(soft.reshape(B, A, K, P), 2, 3)[:, :A_eff]
+        out["soft_sum"] = ssum.reshape(B, A, P).astype(jnp.float32)[:, :A_eff]
         # Residuals for the fused coverage-gradient kernel
         # (pallas_coverage_grad): the packed tile-face buffer and its
         # bookkeeping, all non-differentiable. (A is recomputed from cfg on
         # the consumer side — ints must not cross the jit boundary.)
-        "pack": (fvt, counts_a, act_idx_k.reshape(-1)),
-    }
+        out["pack"] = (fvt, counts_a, act_idx_k.reshape(-1))
+    return out
 
 
 def _coverage_grad_kernel(counts_ref, act_ref, fvt_ref, g_ref, out_ref,

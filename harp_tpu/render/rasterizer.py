@@ -504,8 +504,9 @@ def get_ids(verts_px, faces, cfg: RasterConfig, need_soft: bool = True,
     if _use_pallas(cfg) and not _pallas_pregather_too_large(verts_px.shape[0], cfg):
         from harp_tpu.render.pallas.raster_kernel import pallas_rasterize
 
-        soft, _, hard = pallas_rasterize(verts_px, faces, cfg)
-        return (soft if need_soft else None), (hard if need_hard else None)
+        soft, _, hard = pallas_rasterize(verts_px, faces, cfg,
+                                         need_soft=need_soft)
+        return soft, (hard if need_hard else None)
     faces = as_faces_array(faces)
     out = _rasterize_ids(
         jax.lax.stop_gradient(verts_px), faces, cfg, need_soft, need_hard
@@ -613,7 +614,8 @@ def raster_full(verts_px, faces, cfg: RasterConfig, need_soft: bool = True,
     if _use_pallas(cfg) and not _pallas_pregather_too_large(verts_px.shape[0], cfg):
         from harp_tpu.render.pallas.raster_kernel import pallas_rasterize
 
-        soft, ssum, hard = pallas_rasterize(verts_px, faces, cfg)
+        soft, ssum, hard = pallas_rasterize(verts_px, faces, cfg,
+                                            need_soft=need_soft)
         out = {}
         if need_soft:
             out["soft_ids"], out["soft_sum"] = soft, ssum
@@ -695,10 +697,11 @@ def raster_compact(verts_px, faces, cfg: RasterConfig, need_soft: bool = True,
     if _use_pallas(cfg) and not _pallas_pregather_too_large(verts_px.shape[0], cfg):
         from harp_tpu.render.pallas.raster_kernel import pallas_raster_compact
 
-        out = dict(pallas_raster_compact(verts_px, faces, cfg))
-        if not need_soft:
-            out.pop("soft_ids", None)
-            out.pop("soft_sum", None)
+        # need_soft=False statically elides the kernel's soft-list/coverage
+        # work (the edge-distance stack is most of the pair cost) — the
+        # depth-only mode the shadow light pass uses.
+        out = dict(pallas_raster_compact(verts_px, faces, cfg,
+                                         need_soft=need_soft))
         if not need_hard:
             out.pop("hard_ids", None)
         return out

@@ -103,3 +103,41 @@ def test_average_cam_sequence(tmp_path):
     expect = np.asarray(init["cam"]).mean(0)
     np.testing.assert_allclose(mano_params["cam"], np.tile(expect, (3, 1)),
                                atol=1e-6)
+
+
+def test_native_frameloader_feeds_the_fit(tmp_path):
+    """The C++ frameloader path is the default real-data decode: it must
+    produce the same arrays as the PIL fallback, and a short fit driven from
+    its output must converge (NEXT round-2 #11 — decoder existed but had
+    never fed a fit)."""
+    import pytest
+    from harp_tpu.native import load_frameloader
+
+    if load_frameloader() is None:
+        pytest.skip("native frameloader unavailable")
+
+    config = HarpConfig(
+        img_size=64, focal_length=285.0, texture_size=64, self_shadow=False,
+        total_epoch=3, training_stage=(1, 1, 1), batch_size=2, w_vgg=0.0,
+    )
+    images, masks, masks_er, gt, init = make_synthetic_sequence(
+        ASSETS, config, RCFG, n_frames=3, seed=7, perturb=0.2
+    )
+    root = str(tmp_path / "data")
+    _write_reference_layout(root, "1", images, masks, init)
+
+    _, img_n, msk_n, er_n = load_sequences(root, root, ["1"], use_native=True)
+    _, img_p, msk_p, er_p = load_sequences(root, root, ["1"], use_native=False)
+    # libjpeg's IDCT may differ from PIL's by a couple of codes per pixel.
+    assert np.abs(img_n - img_p).max() < 0.05
+    assert np.abs(msk_n - msk_p).max() < 0.05
+    assert np.abs(er_n - er_p).mean() < 0.02
+
+    mano_params, imgs, msks, msks_er = load_sequences(root, root, ["1"],
+                                                      use_native=True)
+    data = FitData(images=jnp.asarray(imgs), masks=jnp.asarray(msks),
+                   masks_eroded=jnp.asarray(msks_er))
+    params, aux = init_params(mano_params, ASSETS, config)
+    params, history = fit_sequence(config, ASSETS, data, params, aux, rcfg=RCFG)
+    losses = [h["loss"] for h in history]
+    assert losses[-1] < losses[0], losses

@@ -121,3 +121,25 @@ def test_coverage_grad_kernel_matches_brute():
     # f32 reassociation noise bound (the sum orders differ: per-pixel-
     # -over-faces vs per-tile-slot accumulation).
     assert np.abs(gb - gp).max() < 2e-4 * max(np.abs(gb).max(), 1e-6)
+
+
+def test_depth_only_mode_matches_full_kernel():
+    """need_soft=False (the shadow light pass's depth-only kernel) must
+    produce identical hard ids to the full kernel, with soft outputs absent."""
+    from harp_tpu.render.pallas.raster_kernel import pallas_raster_compact
+
+    verts, faces = _random_scene(seed=3, n=40)
+    full = pallas_raster_compact(verts, jnp.asarray(faces, jnp.int32), CFG,
+                                 interpret=True)
+    hard_only = pallas_raster_compact(verts, jnp.asarray(faces, jnp.int32),
+                                      CFG, interpret=True, need_soft=False)
+    np.testing.assert_array_equal(np.asarray(hard_only["act_idx"]),
+                                  np.asarray(full["act_idx"]))
+    np.testing.assert_array_equal(np.asarray(hard_only["hard_ids"]),
+                                  np.asarray(full["hard_ids"]))
+    assert "soft_ids" not in hard_only and "pack" not in hard_only
+    s, ss, h = pallas_rasterize(verts, faces, CFG, interpret=True,
+                                need_soft=False)
+    assert s is None and ss is None
+    _, _, h_full = pallas_rasterize(verts, faces, CFG, interpret=True)
+    np.testing.assert_array_equal(np.asarray(h), np.asarray(h_full))
