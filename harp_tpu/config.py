@@ -48,10 +48,18 @@ class HarpConfig:
     # measured at reference mesh density (scripts/probe_occupancy.py: 371
     # hand / 362 arm across a pose jitter sweep at 448^2).
     raster_cap: int = 448
+    # Pair-expansion span: 3 is exact for the reference-density meshes
+    # (probed zero truncation, triangles ~8 px) and ~2x cheaper binning
+    # sorts than 4; truncation is loud via bin_overflow if a scene ever
+    # needs more.
+    raster_span_tiles: int = 3
     shadow_bias: float = 0.008
     # Light-view depth-map resolution relative to the image (1.0 = the
-    # reference's full-res shadow pass; 0.5 quarters the light raster).
-    shadow_map_scale: float = 1.0
+    # reference's full-res shadow pass). Default 0.5 quarters the light
+    # rasterization and shrinks the PCF backward's scatter target; A/B'd at
+    # protocol scale with IoU/L1/MS-SSIM parity (round-1 and round-3
+    # RESULTS.md). Set 1.0 for bit-level reference shadow geometry.
+    shadow_map_scale: float = 0.5
     shadow_sharpness: float = 1000.0
     shadow_light_radius: float = 1.5
 
@@ -102,6 +110,7 @@ class HarpConfig:
             image_size=self.img_size,
             active_fraction=self.raster_active_fraction,
             cap=self.raster_cap,
+            span_tiles=self.raster_span_tiles,
         )
         kw.update(overrides)
         return RasterConfig(**kw)

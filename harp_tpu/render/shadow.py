@@ -31,6 +31,20 @@ from harp_tpu.render.rasterizer import (
 from harp_tpu.render import shading
 
 
+def light_raster_config(raster_cfg: RasterConfig, scale: float) -> RasterConfig:
+    """Raster config for the light-view depth pass at `scale` resolution.
+
+    A downscaled light map concentrates faces: per-tile peak counts at
+    scale 0.5 measured ~1.9x the camera view's (577 vs 305 hand, 548 vs 339
+    arm at reference density) — the cap is scaled by 1/scale so the light
+    pass cannot silently truncate what the camera pass holds."""
+    if scale >= 1.0:
+        return raster_cfg
+    Hl = int(round(raster_cfg.image_size * scale))
+    cap = -(-int(round(raster_cfg.cap / scale)) // 8) * 8
+    return dataclasses.replace(raster_cfg, image_size=Hl, cap=cap)
+
+
 def shadow_cameras(cam, light_positions, hand_center, config: HarpConfig):
     """Light/camera extrinsics for the shadow pass
     (process_info_for_shadow, renderer_helper.py:454-468).
@@ -109,8 +123,7 @@ def render_rgb_with_shadow(
     s = config.shadow_map_scale
     Hl = int(round(H * s))
     focal_l = config.focal_length * s
-    rcfg_l = (raster_cfg if Hl == H else
-              dataclasses.replace(raster_cfg, image_size=Hl))
+    rcfg_l = light_raster_config(raster_cfg, s)
     screen_l = cam_mod.screen_from_world(verts, light_R, light_T, focal_l, Hl)
     _, ids_l = get_ids(screen_l, faces, rcfg_l, False, True)
     _, z_l, mask_l = barycentrics_of(ids_l, screen_l, faces, rcfg_l)
@@ -175,8 +188,7 @@ def shadow_visibility_compact(verts, assets: AvatarAssets, config: HarpConfig,
     s = config.shadow_map_scale
     Hl = int(round(H * s))
     focal_l = config.focal_length * s
-    rcfg_l = (raster_cfg if Hl == H else
-              dataclasses.replace(raster_cfg, image_size=Hl))
+    rcfg_l = light_raster_config(raster_cfg, s)
 
     # Light pass (compact) -> full depth map.
     screen_l = cam_mod.screen_from_world(verts, light_R, light_T, focal_l, Hl)
