@@ -60,6 +60,10 @@ def parse_args():
                         "counters in logs flag an insufficient budget), "
                         "1.0 below")
     p.add_argument("--debug-nans", action="store_true")
+    p.add_argument("--epoch-scan", type=int, default=10,
+                   help="fuse N epochs per device dispatch (lax.scan) when "
+                        "no host-side logging falls inside the segment; "
+                        "0/1 = per-step dispatch loop")
     p.add_argument("--mesh-devices", type=int, default=0,
                    help="fit THIS sequence data-parallel over N devices "
                         "(frame-axis sharding; batch-size must divide by N); "
@@ -231,7 +235,7 @@ def main():
         params, history = fit_sequence(
             config, assets, data, params, aux, rcfg=rcfg,
             out_dir=config.base_output_dir, image_log_every=10,
-            mesh=mesh, resume=resume_payload,
+            mesh=mesh, resume=resume_payload, epoch_scan=args.epoch_scan,
             **val_kwargs,
         )
     save_result(params, config.base_output_dir, test=config.known_appearance)

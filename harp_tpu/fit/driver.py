@@ -118,24 +118,27 @@ def compute_losses(params, aux, fids, batch_imgs, batch_masks, batch_masks_er,
             light = jnp.broadcast_to(params["light_positions"][0], (fids.shape[0], 3))
         else:
             light = params["light_positions"][fids]
+        # ONE barycentric recompute + packed gather serves both the shadow
+        # reprojection and the Phong shading.
+        geom = pipeline.pixel_geometry_compact(verts, screen, rout, assets, rcfg)
         if config.self_shadow:
             vis, light_R, light_T, cam_R, cam_T = shadow_visibility_compact(
                 verts, assets, config, rcfg, params["cam"][fids], light,
-                screen, rout,
+                screen, rout, points=geom["points"],
             )
             amb = jax.nn.sigmoid(params["amb_ratio"])
             rgb_c, mask_c = pipeline.shade_pixels_compact(
                 verts, screen, rout, assets, R, T, config, rcfg,
                 texture, params["normal_map"], light,
                 jnp.stack([amb] * 3), 1.0 - jnp.stack([amb] * 3),
-                jnp.zeros(3, verts.dtype), vis_map=vis,
+                jnp.zeros(3, verts.dtype), vis_map=vis, geom=geom,
             )
         else:
             rgb_c, mask_c = pipeline.shade_pixels_compact(
                 verts, screen, rout, assets, R, T, config, rcfg,
                 texture, params["normal_map"], light,
                 config.ambient_color, config.diffuse_color,
-                config.specular_color, shininess=config.shininess,
+                config.specular_color, shininess=config.shininess, geom=geom,
             )
         # Masked photometric L1 with the closed-form background term for
         # inactive tiles (pred == background there).
@@ -228,6 +231,89 @@ def stage_flags(epoch: int, config: HarpConfig):
     return False, True
 
 
+def make_epoch_scan(assets: AvatarAssets, config: HarpConfig, rcfg: RasterConfig,
+                    vgg: Vgg16Features | None, txs, masks, data: FitData,
+                    extras: dict | None = None):
+    """Multi-epoch fused training: ONE jitted lax.scan over (epochs, steps).
+
+    The Python epoch loop dispatches every train step through the host (and,
+    on the axon tunnel, each dispatch costs tens of ms — the round-2
+    protocol fit ran 0.95 s/step against a 0.69 s/step synced bench).
+    Scanning whole epoch segments on device removes that per-step overhead:
+    minibatch gathers (images[fids]) happen inside the scan from the
+    closed-over device-resident sequence, and the plateau LR schedule is
+    carried in the scan state (same ReduceLROnPlateau decisions as
+    fit/optimizer.plateau_update, computed in f32 on device).
+
+    Returned fn: run_epochs(params, opt_states, aux, fids_es (E, steps, bs),
+    keys_es (E, steps, 2), ref_verts, plateau3 (best, bad, scale), *,
+    coarse_on, app_on) -> (params, opt_states, plateau3, totals (E,),
+    breakdown dict of (E,)).
+    """
+    images, msks, mers = data.images, data.masks, data.masks_eroded
+    patience = jnp.asarray(config.plateau_patience, jnp.int32)
+    factor = jnp.asarray(config.plateau_factor, jnp.float32)
+    threshold = jnp.float32(1e-4)
+
+    @partial(jax.jit, static_argnames=("coarse_on", "app_on"),
+             donate_argnums=(0, 1))
+    def run_epochs(params, opt_states, aux, fids_es, keys_es, ref_verts,
+                   plateau3, *, coarse_on: bool, app_on: bool):
+        def step_body(carry, xs):
+            params, opt_states, lr_scale = carry
+            fids, key = xs
+            (total, breakdown), grads = jax.value_and_grad(
+                lambda p: compute_losses(
+                    p, aux, fids, images[fids], msks[fids], mers[fids],
+                    assets, config, rcfg, vgg, ref_verts, key,
+                    coarse_on, app_on, extras,
+                ),
+                has_aux=True,
+            )(params)
+            new_states = dict(opt_states)
+            if coarse_on:
+                updates, new_states["coarse"] = txs["coarse"].update(
+                    grads, opt_states["coarse"], params
+                )
+                updates = jax.tree.map(lambda u: u * lr_scale, updates)
+                params = optax.apply_updates(params, updates)
+            if app_on:
+                updates, new_states["app"] = txs["app"].update(
+                    grads, opt_states["app"], params
+                )
+                params = optax.apply_updates(params, updates)
+            return (params, new_states, lr_scale), (total, breakdown)
+
+        def epoch_body(carry, xs):
+            params, opt_states, plateau = carry
+            fids_s, keys_s = xs
+            best, bad, scale = plateau
+            (params, opt_states, _), (totals, breakdowns) = jax.lax.scan(
+                step_body, (params, opt_states, scale), (fids_s, keys_s)
+            )
+            epoch_loss = totals.mean()
+            if coarse_on:
+                # plateau_update (fit/optimizer.py) semantics on device.
+                improved = epoch_loss < best * (1.0 - threshold)
+                new_best = jnp.where(improved, epoch_loss, best)
+                new_bad = jnp.where(improved, 0, bad + 1)
+                trip = new_bad > patience
+                scale = jnp.where(trip, scale * factor, scale)
+                new_bad = jnp.where(trip, 0, new_bad)
+                plateau = (new_best, new_bad, scale)
+            return (params, opt_states, plateau), (
+                epoch_loss, plateau[2],
+                jax.tree.map(lambda x: x.sum(0), breakdowns),
+            )
+
+        (params, opt_states, plateau3), (totals, scales, breakdown) = jax.lax.scan(
+            epoch_body, (params, opt_states, plateau3), (fids_es, keys_es)
+        )
+        return params, opt_states, plateau3, totals, scales, breakdown
+
+    return run_epochs
+
+
 def fit_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
                  params: dict, aux: dict, rcfg: RasterConfig | None = None,
                  vgg: Vgg16Features | None = None, seed: int = 0,
@@ -236,7 +322,8 @@ def fit_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
                  checkpoint_every: int = 200, extras: dict | None = None,
                  val_data: FitData | None = None,
                  val_params: dict | None = None, val_log_every: int = 20,
-                 mesh=None, resume: dict | None = None):
+                 mesh=None, resume: dict | None = None,
+                 epoch_scan: int = 0):
     """Run the staged optimization. Returns (params, history).
 
     out_dir enables observability (the reference's TensorBoard scalars +
@@ -262,6 +349,16 @@ def fit_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
     killed fit mid-protocol: optimizer moments, the epoch cursor (training
     resumes at epoch+1, so stage flags line up), and the plateau lr scale
     are restored; pass the checkpoint's params through `params` as usual.
+
+    epoch_scan: >1 fuses that many epochs into one jitted lax.scan dispatch
+    (make_epoch_scan) whenever a full same-stage, action-free segment fits —
+    eliminating per-step host dispatch (tens of ms each over the axon
+    tunnel). Epochs with host-side actions (image/val logs, checkpoints,
+    callbacks) and stage remainders fall back to the per-epoch loop; the
+    segment length is FIXED so each stage compiles exactly one scan. The
+    only semantic difference: plateau-schedule comparisons run in f32 on
+    device instead of host f64 (decisions agree except within ~1e-7 rel of
+    the threshold).
     """
     from harp_tpu.fit.optimizer import build_optimizers, PlateauState, plateau_update
 
@@ -345,44 +442,124 @@ def fit_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
             for _ in range(steps):
                 key, _ = jax.random.split(key)
 
-    for epoch in range(start_epoch, config.total_epoch):
+    scan_fn = None
+    if epoch_scan and epoch_scan > 1:
+        scan_fn = make_epoch_scan(assets, config, rcfg, vgg, txs, masks,
+                                  data, extras)
+
+    def _is_action_epoch(e):
+        """Epochs after which the python loop does host-side work."""
+        if callback is not None:
+            return True
+        if out_dir is None:
+            return False
+        if image_log_every and e % image_log_every == 0:
+            return True
+        if val_data is not None and val_log_every and e % val_log_every == 0:
+            return True
+        if checkpoint_every and e > 0 and e % checkpoint_every == 0:
+            return True
+        return False
+
+    epoch = start_epoch
+    while epoch < config.total_epoch:
         coarse_on, app_on = stage_flags(epoch, config)
-        perm = rng.permutation(n)
-        total_acc = None
-        term_sums: dict = {}
-        for s in range(steps):
-            fids = jnp.asarray(perm[s * bs : (s + 1) * bs])
-            key, sub = jax.random.split(key)
-            params, opt_states, total, breakdown = train_step(
-                params, opt_states, aux, fids,
-                gather_batch(data.images, fids),
-                gather_batch(data.masks, fids),
-                gather_batch(data.masks_eroded, fids),
-                ref_verts, sub, jnp.asarray(plateau.scale, jnp.float32),
-                coarse_on=coarse_on, app_on=app_on,
+        # Fuse a fixed-length segment when the next epoch_scan epochs share
+        # the stage and contain no mid-segment host actions (fixed length →
+        # exactly one scan compile per stage).
+        E = 1
+        if scan_fn is not None and epoch + epoch_scan <= config.total_epoch:
+            ok = all(
+                stage_flags(epoch + i, config) == (coarse_on, app_on)
+                for i in range(epoch_scan)
+            ) and not any(
+                _is_action_epoch(epoch + i) for i in range(epoch_scan - 1)
             )
-            # Accumulate ON DEVICE: a host sync per step costs ~25 ms on the
-            # tunnel once a Mosaic kernel has run; one sync per epoch below.
-            total_acc = total if total_acc is None else total_acc + total
-            for k, v in breakdown.items():
-                term_sums[k] = v if k not in term_sums else term_sums[k] + v
-        term_keys = list(term_sums)
-        host_vals = np.asarray(
-            jnp.stack([total_acc] + [term_sums[k] for k in term_keys])
-        )  # single host sync for the whole epoch's scalars
-        epoch_loss = float(host_vals[0]) / steps
-        term_sums = {k: float(v) for k, v in zip(term_keys, host_vals[1:])}
-        if coarse_on:
-            plateau = plateau_update(
-                plateau, epoch_loss, config.plateau_patience, config.plateau_factor
+            if ok:
+                E = epoch_scan
+
+        if E > 1:
+            fids_es = jnp.asarray(np.stack([
+                rng.permutation(n)[: steps * bs].reshape(steps, bs)
+                for _ in range(E)
+            ]).astype(np.int32))
+
+            def _chain(c, _):
+                ks = jax.random.split(c)
+                return ks[0], ks[1]
+
+            key, subs = jax.jit(
+                partial(jax.lax.scan, _chain, xs=None, length=E * steps)
+            )(key)
+            keys_es = subs.reshape((E, steps) + subs.shape[1:])
+            plateau3 = (jnp.asarray(plateau.best, jnp.float32),
+                        jnp.asarray(plateau.bad_epochs, jnp.int32),
+                        jnp.asarray(plateau.scale, jnp.float32))
+            params, opt_states, plateau3, totals, scales, breakdown = scan_fn(
+                params, opt_states, aux, fids_es, keys_es, ref_verts,
+                plateau3, coarse_on=coarse_on, app_on=app_on,
             )
-        # Per-term means over the epoch's steps (the reference logs per-step
-        # scalars, optimize_sequence.py:560-564; epoch means carry the same
-        # signal without a per-step host sync).
-        history.append({"epoch": epoch, "loss": epoch_loss,
-                        **{k: v / steps for k, v in term_sums.items()}})
-        if logger is not None:
-            logger.log(epoch, lr_scale=plateau.scale, **history[-1])
+            term_keys = list(breakdown)
+            host = np.asarray(jnp.concatenate(
+                [totals, scales, plateau3[0][None], plateau3[1].astype(jnp.float32)[None],
+                 plateau3[2][None]]
+                + [breakdown[k] for k in term_keys]
+            ))  # one host sync for the whole segment's scalars
+            totals_h = host[:E]
+            scales_h = host[E:2 * E]
+            plateau = PlateauState(best=float(host[2 * E]),
+                                   bad_epochs=int(host[2 * E + 1]),
+                                   scale=float(host[2 * E + 2]))
+            terms_h = host[2 * E + 3:].reshape(len(term_keys), E)
+            for i in range(E):
+                history.append({
+                    "epoch": epoch + i, "loss": float(totals_h[i]),
+                    **{k: float(terms_h[j, i]) / steps
+                       for j, k in enumerate(term_keys)},
+                })
+                if logger is not None:
+                    logger.log(epoch + i, lr_scale=float(scales_h[i]),
+                               **history[-1])
+            epoch += E - 1  # the shared per-epoch action block below runs
+            # for the segment's last epoch (no mid-segment actions exist).
+        else:
+            perm = rng.permutation(n)
+            total_acc = None
+            term_sums: dict = {}
+            for s in range(steps):
+                fids = jnp.asarray(perm[s * bs : (s + 1) * bs])
+                key, sub = jax.random.split(key)
+                params, opt_states, total, breakdown = train_step(
+                    params, opt_states, aux, fids,
+                    gather_batch(data.images, fids),
+                    gather_batch(data.masks, fids),
+                    gather_batch(data.masks_eroded, fids),
+                    ref_verts, sub, jnp.asarray(plateau.scale, jnp.float32),
+                    coarse_on=coarse_on, app_on=app_on,
+                )
+                # Accumulate ON DEVICE: a host sync per step costs ~25 ms on
+                # the tunnel once a Mosaic kernel has run; one sync per epoch.
+                total_acc = total if total_acc is None else total_acc + total
+                for k, v in breakdown.items():
+                    term_sums[k] = v if k not in term_sums else term_sums[k] + v
+            term_keys = list(term_sums)
+            host_vals = np.asarray(
+                jnp.stack([total_acc] + [term_sums[k] for k in term_keys])
+            )  # single host sync for the whole epoch's scalars
+            epoch_loss = float(host_vals[0]) / steps
+            term_sums = {k: float(v) for k, v in zip(term_keys, host_vals[1:])}
+            if coarse_on:
+                plateau = plateau_update(
+                    plateau, epoch_loss, config.plateau_patience,
+                    config.plateau_factor,
+                )
+            # Per-term means over the epoch's steps (the reference logs
+            # per-step scalars, optimize_sequence.py:560-564; epoch means
+            # carry the same signal without a per-step host sync).
+            history.append({"epoch": epoch, "loss": epoch_loss,
+                            **{k: v / steps for k, v in term_sums.items()}})
+            if logger is not None:
+                logger.log(epoch, lr_scale=plateau.scale, **history[-1])
         if out_dir is not None and image_log_every and epoch % image_log_every == 0:
             _log_images(params, aux, data, assets, config, rcfg, out_dir, epoch)
         if (out_dir is not None and val_data is not None and val_log_every
@@ -408,6 +585,7 @@ def fit_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
                 )
         if callback is not None:
             callback(epoch, params, history[-1])
+        epoch += 1
     if logger is not None:
         logger.close()
     if orbax_ckpt is not None:

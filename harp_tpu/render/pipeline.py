@@ -212,26 +212,49 @@ def raster_camera_view_compact(verts, assets: AvatarAssets, R, T,
     return screen, out
 
 
-def shade_pixels_compact(verts, screen, rout, assets: AvatarAssets, R, T,
-                         config: HarpConfig, raster_cfg: RasterConfig,
-                         texture, normal_map, light_positions,
-                         ambient_color, diffuse_color, specular_color,
-                         vis_map=None, shininess: float = 0.0):
-    """Phong shading on compact tiles -> (colors (B, A, P, 3), mask)."""
+def pixel_geometry_compact(verts, screen, rout, assets: AvatarAssets,
+                           raster_cfg: RasterConfig):
+    """Shared per-pixel geometry for the compact path: ONE barycentric
+    recompute + ONE packed attribute gather serving both the shadow
+    reprojection and the Phong shading (they consumed identical
+    interpolations; fusing halves the pixel gathers and their backward
+    scatter families).
+
+    Returns dict(points, normals, uv, mask), each (B, A, P, ...).
+    """
     from harp_tpu.render.rasterizer import tile_pixel_coords, barycentrics_of_at
 
     faces = assets.render_faces
     px, py = tile_pixel_coords(rout["act_idx"], raster_cfg)
     ids = rout["hard_ids"]
     bary, _, mask = barycentrics_of_at(ids, screen, faces, raster_cfg, px, py)
-
     normals_v = vertex_normals(verts, faces)
     attrs = shading.interpolate_packed_attrs(
         verts, normals_v, faces, assets.verts_uvs, assets.faces_uvs, ids, bary
     )
-    points = attrs[..., 0:3]
-    pixel_normals = attrs[..., 3:6]
-    uv = attrs[..., 6:8]
+    return {
+        "points": attrs[..., 0:3],
+        "normals": attrs[..., 3:6],
+        "uv": attrs[..., 6:8],
+        "mask": mask,
+    }
+
+
+def shade_pixels_compact(verts, screen, rout, assets: AvatarAssets, R, T,
+                         config: HarpConfig, raster_cfg: RasterConfig,
+                         texture, normal_map, light_positions,
+                         ambient_color, diffuse_color, specular_color,
+                         vis_map=None, shininess: float = 0.0, geom=None):
+    """Phong shading on compact tiles -> (colors (B, A, P, 3), mask).
+
+    geom: optional precomputed pixel_geometry_compact output (shared with
+    the shadow pass)."""
+    if geom is None:
+        geom = pixel_geometry_compact(verts, screen, rout, assets, raster_cfg)
+    points = geom["points"]
+    pixel_normals = geom["normals"]
+    uv = geom["uv"]
+    mask = geom["mask"]
     if normal_map is not None:
         packed_tex = jnp.concatenate(
             [texture, shading.safe_normalize(normal_map)], axis=-1

@@ -166,13 +166,17 @@ def render_rgb_with_shadow(
 
 def shadow_visibility_compact(verts, assets: AvatarAssets, config: HarpConfig,
                               raster_cfg: RasterConfig, cam, light_positions,
-                              screen_c, rout):
+                              screen_c, rout, points=None):
     """Shadow PCF visibility for compact camera tiles -> vis (B, A, P).
 
     Light depth pass rasterizes compactly in the light view, scatters the
     depth map to a full image (fill -1, pytorch3d's empty-zbuf convention),
     then gathers the 3x3 PCF taps only for the camera's active pixels.
     Returns (vis, light_R, light_T, cam_R, cam_T).
+
+    points: optional precomputed camera-hit world points (B, A, P, 3) from
+    pipeline.pixel_geometry_compact — skips this function's own
+    barycentric + interpolation recompute (shared with shading).
     """
     from harp_tpu.render.rasterizer import (
         raster_compact, as_faces_array, tile_pixel_coords,
@@ -200,14 +204,15 @@ def shadow_visibility_compact(verts, assets: AvatarAssets, config: HarpConfig,
     depth_light = scatter_tiles(depth_c, lout["act_idx"], rcfg_l, -1.0)
 
     # Camera hit points (compact) -> light view -> PCF.
-    px, py = tile_pixel_coords(rout["act_idx"], raster_cfg)
-    bary_c, _, _ = barycentrics_of_at(rout["hard_ids"], screen_c, faces,
-                                      raster_cfg, px, py)
-    from harp_tpu.render import shading as _shading
+    if points is None:
+        px, py = tile_pixel_coords(rout["act_idx"], raster_cfg)
+        bary_c, _, _ = barycentrics_of_at(rout["hard_ids"], screen_c, faces,
+                                          raster_cfg, px, py)
+        from harp_tpu.render import shading as _shading
 
-    points = _shading.interpolate_face_vertex_attrs(
-        verts, faces, rout["hard_ids"], bary_c
-    )
+        points = _shading.interpolate_face_vertex_attrs(
+            verts, faces, rout["hard_ids"], bary_c
+        )
     B, A, P = rout["hard_ids"].shape
     view_l = cam_mod.world_to_view(points.reshape(B, -1, 3), light_R, light_T)
     depth_from_light = view_l[..., 2].reshape(B, A, P)

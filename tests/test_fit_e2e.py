@@ -122,3 +122,49 @@ def test_arm_fit_smoke():
     assert np.isfinite(history[-1]["loss"])
     assert history[-1]["loss"] < history[0]["loss"] * 1.5  # no blow-up
     assert np.all(np.isfinite(np.asarray(params["wrist_pose"])))
+
+
+def test_epoch_scan_matches_python_loop():
+    """fit_sequence(epoch_scan=3) — whole epoch segments fused into one
+    lax.scan dispatch — must reproduce the per-step Python loop: same loss
+    history and final params (modulo Adam f32 reassociation)."""
+    import dataclasses as dc
+    import jax
+
+    config = HarpConfig(
+        img_size=64, focal_length=285.0, texture_size=64, self_shadow=False,
+        total_epoch=6, training_stage=(3, 2, 1), batch_size=2, w_vgg=0.0,
+    )
+    images, masks, masks_er, gt, init = make_synthetic_sequence(
+        ASSETS, config, RCFG, n_frames=4, seed=11, perturb=0.2
+    )
+    data = FitData(images=images, masks=masks, masks_eroded=masks_er)
+    params, aux = init_params(init, ASSETS, config)
+    params_host = jax.tree.map(np.asarray, params)
+
+    p_ref, h_ref = fit_sequence(
+        config, ASSETS, data, jax.tree.map(jnp.asarray, params_host),
+        dict(aux), rcfg=RCFG, seed=0,
+    )
+    p_scan, h_scan = fit_sequence(
+        config, ASSETS, data, jax.tree.map(jnp.asarray, params_host),
+        dict(aux), rcfg=RCFG, seed=0, epoch_scan=3,
+    )
+    assert len(h_ref) == len(h_scan) == 6
+    # Inside the scanned segment the two paths agree to f32 noise; AFTER it,
+    # Adam's rsqrt amplifies the ~1e-7 reassociation drift (measured: zero
+    # logic difference on a coarse-only segment, params within 3e-7), so
+    # later epochs only need to track.
+    for a, b in zip(h_ref, h_scan):
+        assert a["epoch"] == b["epoch"]
+        tol = 5e-5 if a["epoch"] < 3 else 1e-2
+        np.testing.assert_allclose(a["loss"], b["loss"], rtol=tol,
+                                   err_msg=f"epoch {a['epoch']}")
+    p_ref = jax.tree.map(np.asarray, p_ref)
+    lr = max(config.lr_pose, config.lr_app)
+    for k in p_ref:
+        np.testing.assert_allclose(
+            np.asarray(p_scan[k]), p_ref[k], rtol=2e-3,
+            atol=6 * 2 * lr + 2e-6,  # Adam sign-flip bound: steps * lr
+            err_msg=f"param {k} diverged under epoch_scan",
+        )
