@@ -32,13 +32,46 @@ def sample_texture_bilinear(tex: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
     align_corners=True grid: u=0 -> texel center 0, u=1 -> texel center W-1.
     v is flipped (uv origin bottom-left). Border padding (clamped).
 
-    PERF NOTE (round-2 measurement): keep this as 4 ELEMENT gathers. A
-    single 2x2 patch gather (jax.lax.gather with slice_sizes) has the same
-    sub-ms forward, but its TRANSPOSE in the loss backward (grad w.r.t. the
-    512^2 texture parameter) lowers to a pathological scatter on TPU: the
-    full 448^2 x B8 train step regressed 267 ms -> 1412 ms. The same
-    applies to the 3x3 PCF taps in render/shadow.py.
+    PERF: the 4 corner texels are fetched as ONE gather of packed 4C-float
+    rows from a corner stack (H*W, 4C) built by 4 static slices of a
+    bottom/right edge-padded texture. Its transpose in the loss backward
+    (grad w.r.t. the 512^2 texture parameter) is a single row scatter + 4
+    slice-adds — vs 4 separate scatters (round-3 measurement; ~23 ms of
+    scatters + ~19 ms of gathers at 448^2 x B18). A 2x2 PATCH gather
+    (jax.lax.gather with slice_sizes) would also be one op, but its
+    transpose lowers to a pathological scatter on TPU (round-2 measurement:
+    the full 448^2 x B8 train step regressed 267 ms -> 1412 ms) — the
+    corner stack keeps the fast element-row gather form. Same pattern as
+    the PCF taps in render/shadow.py.
     """
+    H, W = tex.shape[0], tex.shape[1]
+    C = tex.shape[-1]
+    x = jnp.clip(uv[..., 0] * (W - 1), 0.0, W - 1)
+    y = jnp.clip((1.0 - uv[..., 1]) * (H - 1), 0.0, H - 1)
+    x0 = jnp.clip(jnp.floor(x), 0, W - 1)
+    y0 = jnp.clip(jnp.floor(y), 0, H - 1)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    # Corner stack: plane (dy, dx) at (y0, x0) = tex[min(y0+dy, H-1),
+    # min(x0+dx, W-1)] — exactly the clipped corner of the 4-gather form.
+    padded = jnp.pad(tex, ((0, 1), (0, 1), (0, 0)), mode="edge")
+    stack = jnp.concatenate(
+        [padded[dy : dy + H, dx : dx + W] for dy in (0, 1) for dx in (0, 1)],
+        axis=-1,
+    ).reshape(H * W, 4 * C)
+    rows = stack[y0i * W + x0i]  # (..., 4C)
+    t00, t01 = rows[..., 0:C], rows[..., C : 2 * C]
+    t10, t11 = rows[..., 2 * C : 3 * C], rows[..., 3 * C :]
+    top = t00 * (1 - fx) + t01 * fx
+    bot = t10 * (1 - fx) + t11 * fx
+    return top * (1 - fy) + bot * fy
+
+
+def _sample_texture_bilinear_4gather(tex: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
+    """Reference 4-corner-gather formulation (parity check for the packed
+    corner-stack sample_texture_bilinear)."""
     H, W = tex.shape[0], tex.shape[1]
     x = jnp.clip(uv[..., 0] * (W - 1), 0.0, W - 1)
     y = jnp.clip((1.0 - uv[..., 1]) * (H - 1), 0.0, H - 1)

@@ -75,13 +75,43 @@ def pcf_visibility(depth_light, x, y, a, config: HarpConfig):
     int tap centers in light-map pixels; a: (B, ...) biased point depths.
     Returns mean_taps sigmoid((tap - a) * sharpness), shape (B, ...).
 
-    Deliberately the 9-element-gather formulation, NOT a 3x3 patch gather:
-    gradients flow into depth_light (-> light-view z -> verts), and the
-    TRANSPOSE of a batch-vmapped patch gather lowers to a pathological
-    scatter on TPU (measured 4000 ms vs 87 ms for the take_along_axis
-    transpose at 448^2 x B8 — scripts/micro benches, round 2). The forward
-    is sub-ms either way.
+    PERF: the 9 taps are fetched as ONE gather of packed 9-float rows from a
+    pre-shifted tap stack (B, (Hl+2)^2, 9) built by 9 static slices of an
+    edge-padded map. Its transpose in the loss backward is a single 9-float
+    row scatter + 9 slice-adds — vs 9 separate scalar gathers/scatters
+    (measured 9 x ~4.4 ms gathers alone at 448^2 x B18). A 3x3 PATCH gather
+    (jax.lax.gather with slice_sizes) would also be one op but its transpose
+    lowers to a pathological scatter on TPU (4000 ms vs 87 ms, round-2
+    micro bench) — the shifted-stack keeps the fast take_along_axis form.
+
+    Exactness: tap (clip(y+di), clip(x+dj)) for y in [-1, Hl] equals
+    padded2[clip(y,-1,Hl)+2+di] where padded2 edge-pads 2 rows/cols; for
+    y < -1 or y > Hl every tap saturates to the same border row, identical
+    to the clipped-sum form (parity-tested vs the 9-gather loop).
     """
+    B, Hl = depth_light.shape[0], depth_light.shape[1]
+    shape = a.shape
+    # Edge-pad by 2, then 9 static slices -> tap planes of size (Hl+2)^2:
+    # plane (di, dj) at base (u, v) = padded2[u + 1 + di, v + 1 + dj],
+    # u = clip(y, -1, Hl) + 1.
+    padded2 = jnp.pad(depth_light, ((0, 0), (2, 2), (2, 2)), mode="edge")
+    Hp = Hl + 2
+    planes = [
+        padded2[:, 1 + di : 1 + di + Hp, 1 + dj : 1 + dj + Hp]
+        for di in (-1, 0, 1)
+        for dj in (-1, 0, 1)
+    ]
+    stack = jnp.stack(planes, axis=-1).reshape(B, Hp * Hp, 9)
+    u = jnp.clip(y.reshape(B, -1), -1, Hl) + 1
+    v = jnp.clip(x.reshape(B, -1), -1, Hl) + 1
+    taps = jnp.take_along_axis(stack, (u * Hp + v)[:, :, None], axis=1)
+    af = a.reshape(B, -1)[:, :, None]
+    vis = jax.nn.sigmoid((taps - af) * config.shadow_sharpness).sum(-1)
+    return (vis / 9.0).reshape(shape)
+
+
+def _pcf_visibility_loop(depth_light, x, y, a, config: HarpConfig):
+    """Reference 9-gather formulation of pcf_visibility (parity check)."""
     B, Hl = depth_light.shape[0], depth_light.shape[1]
     shape = a.shape
     flat = depth_light.reshape(B, -1)

@@ -121,3 +121,65 @@ def test_default_config_shininess_is_64():
     from harp_tpu.config import HarpConfig
 
     assert HarpConfig().shininess == 64.0
+
+
+def test_bilinear_packed_stack_matches_4gather():
+    """The corner-stack bilinear sampler must match the 4-gather form in
+    value and in gradients w.r.t. BOTH the texture and the uvs, including
+    at the borders and outside [0,1]^2 (clip semantics)."""
+    import jax
+
+    rng = np.random.default_rng(3)
+    tex = jnp.asarray(rng.normal(size=(17, 13, 6)).astype(np.float32))
+    uv = jnp.asarray(
+        np.stack(
+            [rng.uniform(-0.2, 1.2, size=(2, 41)), rng.uniform(-0.2, 1.2, size=(2, 41))],
+            axis=-1,
+        ).astype(np.float32)
+    )
+    a = shading.sample_texture_bilinear(tex, uv)
+    b = shading._sample_texture_bilinear_4gather(tex, uv)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    g = jnp.asarray(rng.normal(size=a.shape).astype(np.float32))
+    ga = jax.grad(lambda t, u: (shading.sample_texture_bilinear(t, u) * g).sum(),
+                  argnums=(0, 1))(tex, uv)
+    gb = jax.grad(lambda t, u: (shading._sample_texture_bilinear_4gather(t, u) * g).sum(),
+                  argnums=(0, 1))(tex, uv)
+    np.testing.assert_allclose(np.asarray(ga[0]), np.asarray(gb[0]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ga[1]), np.asarray(gb[1]), atol=1e-5)
+
+
+def test_pcf_packed_stack_matches_9gather():
+    """The shifted-stack PCF must match the 9-gather loop in value and in
+    gradients w.r.t. the depth map and the point depths, for tap centers
+    well inside, at, and beyond every border."""
+    import jax
+    from harp_tpu.config import HarpConfig
+    from harp_tpu.render.shadow import pcf_visibility, _pcf_visibility_loop
+
+    config = HarpConfig(img_size=32, texture_size=16)
+    rng = np.random.default_rng(5)
+    B, Hl = 2, 19
+    depth = jnp.asarray(rng.normal(size=(B, Hl, Hl)).astype(np.float32))
+    # Hit every interesting region: interior, each border, corners, and
+    # far out of range both sides.
+    xs = np.concatenate([rng.integers(0, Hl, size=40),
+                         np.array([-7, -2, -1, 0, 1, Hl - 2, Hl - 1, Hl, Hl + 1, Hl + 6])])
+    ys = np.concatenate([rng.integers(0, Hl, size=40),
+                         np.array([Hl + 3, Hl, Hl - 1, 0, -1, -5, 2, Hl - 2, 1, -1])])
+    x = jnp.asarray(np.stack([xs, ys]).astype(np.int32))
+    y = jnp.asarray(np.stack([ys, xs]).astype(np.int32))
+    a = jnp.asarray(rng.normal(size=x.shape).astype(np.float32))
+
+    va = pcf_visibility(depth, x, y, a, config)
+    vb = _pcf_visibility_loop(depth, x, y, a, config)
+    np.testing.assert_allclose(np.asarray(va), np.asarray(vb), atol=1e-6)
+
+    g = jnp.asarray(rng.normal(size=va.shape).astype(np.float32))
+    ga = jax.grad(lambda d, aa: (pcf_visibility(d, x, y, aa, config) * g).sum(),
+                  argnums=(0, 1))(depth, a)
+    gb = jax.grad(lambda d, aa: (_pcf_visibility_loop(d, x, y, aa, config) * g).sum(),
+                  argnums=(0, 1))(depth, a)
+    np.testing.assert_allclose(np.asarray(ga[0]), np.asarray(gb[0]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ga[1]), np.asarray(gb[1]), atol=1e-5)
