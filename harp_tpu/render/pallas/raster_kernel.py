@@ -36,7 +36,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from harp_tpu.render.rasterizer import RasterConfig, _bin_faces, _untile
+from harp_tpu.render.rasterizer import (
+    RasterConfig,
+    _bin_pairs,
+    _gather_tile_ids,
+    _untile,
+)
 
 TC = 8  # tiles per program
 FG = 8  # faces per vector group (sublane granularity for f32)
@@ -250,11 +255,13 @@ def pallas_raster_compact(verts_px, faces, cfg: RasterConfig,
     assert cfg.cap % FG == 0, f"cap {cfg.cap} must be a multiple of {FG}"
 
     fv = verts_px[:, faces]  # (B, F, 3, 3)
-    tile_ids, counts = _bin_faces(fv, cfg)
+    s_face, start, counts_clean, counts = _bin_pairs(fv, cfg)
 
     # Active-tile compaction: pre-gather and rasterize only the A
     # most-loaded tiles (top_k also sorts them most-loaded first, so tiles
     # within a program have similar counts — balanced count-bounded loops).
+    # Per-tile face lists are read from the sorted pair runs for ONLY the
+    # active tiles — the dense (B, T, cap) table is never built here.
     # A is padded up to the program granularity TC; padded entries carry
     # count 0 (no kernel work) and are dropped from the outputs.
     if cfg.active_fraction >= 1.0:
@@ -264,9 +271,11 @@ def pallas_raster_compact(verts_px, faces, cfg: RasterConfig,
     A = -(-A_eff // TC) * TC
     _, act_idx = jax.lax.top_k(counts, A_eff)  # (B, A_eff)
     act_idx = act_idx.astype(jnp.int32)
-    tile_ids_a = jnp.take_along_axis(tile_ids, act_idx[:, :, None], axis=1)
+    tile_ids_a = _gather_tile_ids(s_face, start, counts_clean, act_idx, cfg.cap)
+    # Clean counts bound the in-kernel face loops exactly (the reporting
+    # counts' span-truncation bump would only add zeroed degenerate rows).
     counts_a = jnp.minimum(
-        jnp.take_along_axis(counts, act_idx, axis=1), cfg.cap
+        jnp.take_along_axis(counts_clean, act_idx, axis=1), cfg.cap
     ).astype(jnp.int32)
     if A != A_eff:
         pad = A - A_eff
