@@ -55,10 +55,11 @@ def parse_args():
     p.add_argument("--arm-corr", default="template/arm/smplx_arm_corr.pkl")
     p.add_argument("--turntables", action="store_true")
     p.add_argument("--active-tiles", type=float, default=None,
-                   help="raster tile budget fraction; default 0.5 at >=256px "
-                        "(hand fits cover a minority of tiles; overflow "
-                        "counters in logs flag an insufficient budget), "
-                        "1.0 below")
+                   help="raster tile budget fraction; default 0.28 at "
+                        ">=256px (occupied tiles measured mean 140 / max "
+                        "146 of 784 at 448^2 reference density — "
+                        "scripts/probe_occupancy.py; overflow counters in "
+                        "logs flag an insufficient budget), 1.0 below")
     p.add_argument("--debug-nans", action="store_true")
     p.add_argument("--epoch-scan", type=int, default=10,
                    help="fuse N epochs per device dispatch (lax.scan) when "
@@ -108,7 +109,7 @@ def main():
         known_appearance=args.known_appearance,
         raster_active_fraction=(
             args.active_tiles if args.active_tiles is not None
-            else (0.5 if args.img_size >= 256 else 1.0)
+            else (0.28 if args.img_size >= 256 else 1.0)
         ),
         raster_cap=(args.raster_cap if args.raster_cap is not None
                     else (448 if args.density == "reference" else 256)),

@@ -61,6 +61,16 @@ class HarpConfig:
     # RESULTS.md). Set 1.0 for bit-level reference shadow geometry.
     shadow_map_scale: float = 0.5
     shadow_sharpness: float = 1000.0
+    # Backward-scatter budget for the PCF light-map gradient: top-K
+    # 256-pixel groups (= camera tiles on the compact path) by in-band tap
+    # count; at sharpness 1000 the f32 sigmoid derivative is EXACTLY zero
+    # outside a thin depth band (render/shadow._pcf_sum). 0 = dense scatter.
+    # Default stays 0: with the reference's bias*sharpness = 8 (< the f32
+    # saturation threshold 17) every LIT pixel's center tap is in-band by
+    # construction, so the band covers ~90% of active tiles and compaction
+    # buys nothing (scripts/probe_pcf_band.py: 245-265 of 280 tiles at
+    # protocol scale). Useful only for sharper/biased-out configs.
+    pcf_grad_tiles: int = 0
     shadow_light_radius: float = 1.5
 
     # Optimization (reference driver defaults)

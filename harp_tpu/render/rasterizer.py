@@ -142,6 +142,11 @@ def face_pixel_geometry(fv: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray, cfg: 
     signed_d_ndc2 = signed_px2 * (cfg.ndc_scale**2)
     z = b0 * z0 + b1 * z1 + b2 * z2
     return {
+        # Pixel-space signed distance is the PRIMARY value: the blur hit
+        # test must use it directly (the Pallas kernel tests in px^2; the
+        # round trip x * s^2 / s^2 flips boundary pixels vs the kernel —
+        # caught by the arm-density parity test).
+        "signed_px2": signed_px2,
         "signed_d_ndc2": signed_d_ndc2,
         "inside": inside,
         "z": z,
@@ -374,6 +379,15 @@ def _rasterize_ids(verts_px, faces, cfg: RasterConfig, need_soft: bool,
 
     face_chunk = min(cfg.face_chunk, cfg.cap)
     n_face_steps = -(-cfg.cap // face_chunk)
+    # Pad the per-tile lists so every dynamic_slice start is in-bounds:
+    # when cap is not a multiple of face_chunk, XLA CLAMPS the last slice's
+    # start index, silently re-processing the overlap (e.g. cap 448 /
+    # chunk 256 re-ran slots 192-255: duplicate soft ids AND double-counted
+    # coverage — caught by the arm-density Pallas parity test).
+    cap_pad = n_face_steps * face_chunk
+    if cap_pad != cfg.cap:
+        tile_ids = jnp.pad(tile_ids, ((0, 0), (0, 0), (0, cap_pad - cfg.cap)),
+                           constant_values=-1)
 
     def raster_chunk(tc):
         # tc: (B, Tc) per-frame tile indices
@@ -407,7 +421,7 @@ def _rasterize_ids(verts_px, faces, cfg: RasterConfig, need_soft: bool,
                 cfg,
             )
             # (B, Tc, fc, P)
-            d_px2 = g["signed_d_ndc2"] / (cfg.ndc_scale**2)
+            d_px2 = g["signed_px2"]
             ok = slot_valid[..., None] & g["valid"]
             if need_soft:
                 # Slot compaction: keep the FIRST K faces (in bin-list order)
@@ -621,7 +635,7 @@ def rasterize_brute(verts_px, faces, cfg: RasterConfig):
     g = face_pixel_geometry(
         fv[:, :, None, None, :, :], px[None, None], py[None, None], cfg
     )  # (B, F, H, W)
-    d_px2 = g["signed_d_ndc2"] / (cfg.ndc_scale**2)
+    d_px2 = g["signed_px2"]
     hit = g["valid"] & (d_px2 <= cfg.blur_px2)
     hit = jnp.moveaxis(hit, 1, -1)  # (B, H, W, F)
     F = hit.shape[-1]

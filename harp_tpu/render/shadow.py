@@ -16,6 +16,7 @@ get_shadow_renderers/process_info_for_shadow (:416-468):
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -68,6 +69,103 @@ def shadow_cameras(cam, light_positions, hand_center, config: HarpConfig):
     return light_R, light_T, cam_R, cam_T
 
 
+# f32 saturation band of d/dx sigmoid(x): below -104, sigmoid(x) computes
+# exactly 0 (exp underflow); above 17, exactly 1 (1 + e^-x rounds to 1 once
+# e^-x < 2^-24); either way s*(1-s) is exactly 0.0 in float32. Rows whose 9
+# taps all sit outside (-104, 17) therefore contribute EXACTLY zero to the
+# light-map gradient and can be dropped from the backward scatter.
+_PCF_BAND_LO = -104.0
+_PCF_BAND_HI = 17.0
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _pcf_sum(stack, pos, a, sharp: float, grad_tiles: int, group: int):
+    """sum_taps sigmoid((stack[pos] - a) * sharp) with a band-compacted
+    backward scatter.
+
+    stack: (B, Q, 9) pre-shifted tap planes; pos: (B, N) int32 tap-stack
+    rows; a: (B, N) biased point depths. Returns (B, N).
+
+    The backward w.r.t. `stack` is the transpose of the tap gather — a
+    9-wide row scatter over ALL N rows (28.9 ms/step at 448^2 x B18, the
+    single largest op in the train step). At sharpness ~1000 the sigmoid
+    derivative is EXACTLY 0.0 in f32 outside a thin depth band (see
+    _PCF_BAND_LO/HI), i.e. only shadow-boundary pixels carry gradient.
+    grad_tiles > 0 selects the top grad_tiles groups of `group` consecutive
+    rows by in-band pixel count (the compact path's pixel groups ARE the
+    16x16 camera tiles) and scatters only those — exact whenever the band
+    fits in the budget, which pcf_band_groups() verifies and
+    tests/test_shading.py pins. grad_tiles == 0 keeps the dense scatter."""
+    taps = jnp.take_along_axis(stack, pos[:, :, None], axis=1)
+    return jax.nn.sigmoid((taps - a[:, :, None]) * sharp).sum(-1)
+
+
+def _pcf_sum_fwd(stack, pos, a, sharp: float, grad_tiles: int, group: int):
+    taps = jnp.take_along_axis(stack, pos[:, :, None], axis=1)
+    vis = jax.nn.sigmoid((taps - a[:, :, None]) * sharp).sum(-1)
+    return vis, (taps, pos, a, stack.shape[1])
+
+
+def _pcf_sum_bwd(sharp: float, grad_tiles: int, group: int, res, g):
+    taps, pos, a, Q = res
+    B, N = pos.shape
+    x = (taps - a[:, :, None]) * sharp
+    s = jax.nn.sigmoid(x)
+    sp = s * (1.0 - s) * sharp  # d tap; exactly 0 outside the f32 band
+    upd = g[:, :, None] * sp  # (B, N, 9)
+    da = -upd.sum(-1)
+    brow = jnp.arange(B)[:, None]
+    if grad_tiles <= 0 or grad_tiles * group >= N or N % group != 0:
+        dstack = jnp.zeros((B, Q, 9), taps.dtype).at[brow, pos].add(upd)
+    else:
+        nG = N // group
+        band = ((x > _PCF_BAND_LO) & (x < _PCF_BAND_HI)).any(-1)
+        cnt = band.reshape(B, nG, group).sum(-1)  # (B, nG)
+        _, sel = jax.lax.top_k(cnt, grad_tiles)  # (B, Gs) group ids
+        sel_px = (
+            sel[:, :, None] * group
+            + jnp.arange(group, dtype=sel.dtype)[None, None, :]
+        ).reshape(B, -1)
+        pos_s = jnp.take_along_axis(pos, sel_px, axis=1)
+        upd_s = jnp.take_along_axis(upd, sel_px[:, :, None], axis=1)
+        dstack = jnp.zeros((B, Q, 9), taps.dtype).at[brow, pos_s].add(upd_s)
+    return dstack, None, da
+
+
+_pcf_sum.defvjp(_pcf_sum_fwd, _pcf_sum_bwd)
+
+
+def pcf_band_groups(depth_light, x, y, a, config: HarpConfig, group: int = 256):
+    """Per-frame count of `group`-pixel groups with any in-band PCF tap —
+    the exact budget _pcf_sum's compacted backward needs for zero gradient
+    truncation. Diagnostic (probe scripts + tests); not on the train path."""
+    B, Hl = depth_light.shape[0], depth_light.shape[1]
+    stack, pos = _tap_stack(depth_light, x, y)
+    taps = jnp.take_along_axis(stack, pos[:, :, None], axis=1)
+    xs = (taps - a.reshape(B, -1)[:, :, None]) * config.shadow_sharpness
+    band = ((xs > _PCF_BAND_LO) & (xs < _PCF_BAND_HI)).any(-1)
+    n = band.shape[1]
+    nG = n // group
+    return (band[:, : nG * group].reshape(B, nG, group).any(-1)).sum(-1)
+
+
+def _tap_stack(depth_light, x, y):
+    """Pre-shifted 9-tap stack (B, (Hl+2)^2, 9) + flat row positions (B, N)
+    for integer tap centers x, y (see pcf_visibility PERF note)."""
+    B, Hl = depth_light.shape[0], depth_light.shape[1]
+    padded2 = jnp.pad(depth_light, ((0, 0), (2, 2), (2, 2)), mode="edge")
+    Hp = Hl + 2
+    planes = [
+        padded2[:, 1 + di : 1 + di + Hp, 1 + dj : 1 + dj + Hp]
+        for di in (-1, 0, 1)
+        for dj in (-1, 0, 1)
+    ]
+    stack = jnp.stack(planes, axis=-1).reshape(B, Hp * Hp, 9)
+    u = jnp.clip(y.reshape(B, -1), -1, Hl) + 1
+    v = jnp.clip(x.reshape(B, -1), -1, Hl) + 1
+    return stack, u * Hp + v
+
+
 def pcf_visibility(depth_light, x, y, a, config: HarpConfig):
     """3x3 percentage-closer filtering (renderer_helper.py:391-408).
 
@@ -88,25 +186,18 @@ def pcf_visibility(depth_light, x, y, a, config: HarpConfig):
     padded2[clip(y,-1,Hl)+2+di] where padded2 edge-pads 2 rows/cols; for
     y < -1 or y > Hl every tap saturates to the same border row, identical
     to the clipped-sum form (parity-tested vs the 9-gather loop).
+
+    The loss backward scatters tap grads through _pcf_sum, which drops
+    rows outside the f32 sigmoid saturation band when
+    config.pcf_grad_tiles > 0 (see _pcf_sum).
     """
-    B, Hl = depth_light.shape[0], depth_light.shape[1]
+    B = depth_light.shape[0]
     shape = a.shape
-    # Edge-pad by 2, then 9 static slices -> tap planes of size (Hl+2)^2:
-    # plane (di, dj) at base (u, v) = padded2[u + 1 + di, v + 1 + dj],
-    # u = clip(y, -1, Hl) + 1.
-    padded2 = jnp.pad(depth_light, ((0, 0), (2, 2), (2, 2)), mode="edge")
-    Hp = Hl + 2
-    planes = [
-        padded2[:, 1 + di : 1 + di + Hp, 1 + dj : 1 + dj + Hp]
-        for di in (-1, 0, 1)
-        for dj in (-1, 0, 1)
-    ]
-    stack = jnp.stack(planes, axis=-1).reshape(B, Hp * Hp, 9)
-    u = jnp.clip(y.reshape(B, -1), -1, Hl) + 1
-    v = jnp.clip(x.reshape(B, -1), -1, Hl) + 1
-    taps = jnp.take_along_axis(stack, (u * Hp + v)[:, :, None], axis=1)
-    af = a.reshape(B, -1)[:, :, None]
-    vis = jax.nn.sigmoid((taps - af) * config.shadow_sharpness).sum(-1)
+    stack, pos = _tap_stack(depth_light, x, y)
+    vis = _pcf_sum(
+        stack, pos, a.reshape(B, -1), config.shadow_sharpness,
+        config.pcf_grad_tiles, 256,
+    )
     return (vis / 9.0).reshape(shape)
 
 

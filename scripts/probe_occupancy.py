@@ -11,6 +11,7 @@ Usage: python scripts/probe_occupancy.py [--arm] [--img 448]
 
 from __future__ import annotations
 
+import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import argparse
 
 import jax

@@ -68,13 +68,32 @@ def test_orbax_restore_values_and_retention(tmp_path):
     ckpt.close()
 
 
-def test_initialize_distributed_singleprocess_noop():
+def test_initialize_distributed_singleprocess_noop(monkeypatch):
     from harp_tpu.parallel.sharding import initialize_distributed
 
+    # A true single-host environment has no pod coordination variables; the
+    # CI host may carry them (e.g. a tunneled TPU worker sets
+    # TPU_WORKER_HOSTNAMES), and with them set initialize_distributed
+    # correctly refuses to proceed silently — tested separately below.
+    for v in ("TPU_WORKER_HOSTNAMES", "TPU_WORKER_ID",
+              "MEGASCALE_COORDINATOR_ADDRESS"):
+        monkeypatch.delenv(v, raising=False)
     initialize_distributed()  # must not raise in a single-process run
     import jax
 
     assert jax.process_count() == 1
+
+
+def test_initialize_distributed_raises_on_pod_vars(monkeypatch):
+    """Auto-discovery failure WITH pod env vars present is a fatal
+    misconfiguration (ADVICE r2: never silently fit N independent jobs)."""
+    import pytest
+
+    from harp_tpu.parallel.sharding import initialize_distributed
+
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host0,host1")
+    with pytest.raises(RuntimeError, match="pod env vars"):
+        initialize_distributed()
 
 
 def test_global_batch_mesh_axes():
