@@ -82,6 +82,14 @@ def main():
     args = parse_args()
     import jax
 
+    # The container's sitecustomize may force-register a TPU plugin and
+    # override jax_platforms to "axon,cpu" at interpreter startup, which
+    # silently discards an explicit JAX_PLATFORMS=cpu from the caller (and
+    # hangs hermetic CPU runs when the TPU tunnel is down). Re-apply the
+    # env var so it keeps its standard JAX semantics.
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
     jax.config.update("jax_compilation_cache_dir",
