@@ -25,7 +25,7 @@ import numpy as np
 REFERENCE_FRAMES_PER_SEC_ESTIMATE = 8.0
 
 
-def measure(B: int) -> float:
+def measure(B: int, use_arm: bool = False) -> float:
     """Trimmed-mean steady-state frames/s of the full train step at 448^2."""
     import jax
     import jax.numpy as jnp
@@ -36,13 +36,13 @@ def measure(B: int) -> float:
     from harp_tpu.render import pipeline
     from __graft_entry__ import _build
 
-    assets, config, rcfg, _ = _build(448, 512, n_frames=B)
+    assets, config, rcfg, _ = _build(448, 512, n_frames=B, use_arm=use_arm)
     images, masks, masks_er, gt, init = make_synthetic_sequence(
         assets, config, rcfg, n_frames=B, seed=0
     )
     params, aux = init_params(init, assets, config)
     txs, opt_states, group_masks = build_optimizers(params, config)
-    train_step = make_train_step(assets, config, rcfg, None, txs, group_masks)
+    train_step = make_train_step(assets, config, rcfg, None, txs)
     ref_verts, _ = pipeline.mesh_forward(params, jnp.asarray([0]), assets, config)
     ref_verts = ref_verts[0]
     fids = jnp.arange(B)
@@ -92,6 +92,12 @@ def main():
         "vs_baseline_basis": "estimate:8fps-V100-literature",
         "value_b8": round(fps8, 3),
     }
+    try:
+        # Secondary: the ARM workload (4078 render verts / 8128 faces —
+        # reference config 4) at the protocol batch.
+        out["value_arm_b18"] = round(measure(18, use_arm=True), 3)
+    except Exception as e:  # the headline must survive an arm-path failure
+        out["arm_error"] = f"{type(e).__name__}: {e}"[:200]
     print(json.dumps(out))
 
 

@@ -61,38 +61,21 @@ def unstack_params(batched, s: int):
 
 def make_batch_train_step(assets: AvatarAssets, config: HarpConfig,
                           rcfg: RasterConfig, vgg: Vgg16Features | None,
-                          txs, masks):
-    """Vmapped-over-sequences train step (one jit)."""
+                          txs):
+    """Vmapped-over-sequences train step (one jit).
 
-    def one_seq(params, opt_states, aux, fids, imgs, m, me, ref_verts, key,
-                lr_scale, coarse_on, app_on):
-        (total, breakdown), grads = jax.value_and_grad(
-            lambda p: compute_losses(
-                p, aux, fids, imgs, m, me, assets, config, rcfg, vgg,
-                ref_verts, key, coarse_on, app_on,
-            ),
-            has_aux=True,
-        )(params)
-        new_states = dict(opt_states)
-        if coarse_on:
-            updates, new_states["coarse"] = txs["coarse"].update(
-                grads, opt_states["coarse"], params
-            )
-            updates = jax.tree.map(lambda u: u * lr_scale, updates)
-            params = optax.apply_updates(params, updates)
-        if app_on:
-            updates, new_states["app"] = txs["app"].update(
-                grads, opt_states["app"], params
-            )
-            params = optax.apply_updates(params, updates)
-        return params, new_states, total, breakdown
+    The per-sequence step is driver._grad_step — the same definition the
+    single-sequence fit uses, so the batch path cannot drift."""
+    from harp_tpu.fit.driver import _grad_step
 
     @partial(jax.jit, static_argnames=("coarse_on", "app_on"), donate_argnums=(0, 1))
     def batch_step(params_S, opt_states_S, aux_S, fids_S, imgs_S, m_S, me_S,
                    ref_verts_S, keys_S, lr_scales_S, *, coarse_on, app_on):
         return jax.vmap(
-            lambda p, s, a, f, i, m, me, rv, k, ls: one_seq(
-                p, s, a, f, i, m, me, rv, k, ls, coarse_on, app_on
+            lambda p, s, a, f, i, m, me, rv, k, ls: _grad_step(
+                p, s, a, f, i, m, me, rv, k, ls, assets=assets,
+                config=config, rcfg=rcfg, vgg=vgg, txs=txs, extras=None,
+                coarse_on=coarse_on, app_on=app_on,
             )
         )(params_S, opt_states_S, aux_S, fids_S, imgs_S, m_S, me_S,
           ref_verts_S, keys_S, lr_scales_S)
@@ -125,11 +108,11 @@ def fit_sequences_batch(config: HarpConfig, assets: AvatarAssets,
     params_S = stack_params(params_list)
     aux_S = stack_params(aux_list)
     # Optimizer: template from sequence 0, then stacked state.
-    txs, _, masks = build_optimizers(params_list[0], config)
+    txs, _, _ = build_optimizers(params_list[0], config)
     opt_states_S = stack_params(
         [{g: txs[g].init(p) for g in txs} for p in params_list]
     )
-    batch_step = make_batch_train_step(assets, config, rcfg, vgg, txs, masks)
+    batch_step = make_batch_train_step(assets, config, rcfg, vgg, txs)
 
     ref_fids = jnp.zeros((S, 1), jnp.int32)
     ref_verts_S = jax.vmap(
@@ -181,7 +164,7 @@ def fit_sequences_batch(config: HarpConfig, assets: AvatarAssets,
             # Accumulate ON DEVICE: one host sync per epoch below, not per
             # step (a per-step sync costs ~25 ms on the tunnel — the same
             # fix the single-sequence driver carries, fit/driver.py).
-            over = breakdown["bin_overflow"] + breakdown["active_overflow"]
+            over = sum(v for k, v in breakdown.items() if k.endswith("overflow"))
             totals_acc = totals if totals_acc is None else totals_acc + totals
             overflow_acc = over if overflow_acc is None else overflow_acc + over
         host = np.asarray(jnp.stack([totals_acc, overflow_acc]))

@@ -122,7 +122,8 @@ def compute_losses(params, aux, fids, batch_imgs, batch_masks, batch_masks_er,
         # reprojection and the Phong shading.
         geom = pipeline.pixel_geometry_compact(verts, screen, rout, assets, rcfg)
         if config.self_shadow:
-            vis, light_R, light_T, cam_R, cam_T = shadow_visibility_compact(
+            (vis, light_R, light_T, cam_R, cam_T,
+             light_counts) = shadow_visibility_compact(
                 verts, assets, config, rcfg, params["cam"][fids], light,
                 screen, rout, points=geom["points"],
             )
@@ -185,11 +186,51 @@ def compute_losses(params, aux, fids, batch_imgs, batch_masks, batch_masks_er,
     breakdown = dict(losses)
     breakdown["bin_overflow"] = rout["bin_overflow"].sum().astype(jnp.float32)
     breakdown["active_overflow"] = rout["active_overflow"].sum().astype(jnp.float32)
+    if app_on and config.self_shadow:
+        # The light-view depth pass has its own (scaled) raster budget
+        # (shadow.light_raster_config); surface its truncation counters too
+        # — a dropped light tile renders lit-inside-shadow with no other
+        # symptom.
+        breakdown["light_bin_overflow"] = (
+            light_counts["bin_overflow"].sum().astype(jnp.float32))
+        breakdown["light_active_overflow"] = (
+            light_counts["active_overflow"].sum().astype(jnp.float32))
     return total, breakdown
 
 
+def _grad_step(params, opt_states, aux, fids, batch_imgs, batch_masks,
+               batch_masks_er, ref_verts, key, lr_scale, *, assets, config,
+               rcfg, vgg, txs, extras, coarse_on: bool, app_on: bool):
+    """ONE training step: loss value_and_grad + the two-group optimizer
+    update (coarse group lr additionally scaled by the plateau schedule's
+    lr_scale). The single definition is shared by the per-step jit
+    (make_train_step) and the fused epoch scan (make_epoch_scan) so the two
+    dispatch modes cannot drift semantically."""
+    (total, breakdown), grads = jax.value_and_grad(
+        lambda p: compute_losses(
+            p, aux, fids, batch_imgs, batch_masks, batch_masks_er, assets,
+            config, rcfg, vgg, ref_verts, key, coarse_on, app_on, extras,
+        ),
+        has_aux=True,
+    )(params)
+
+    new_states = dict(opt_states)
+    if coarse_on:
+        updates, new_states["coarse"] = txs["coarse"].update(
+            grads, opt_states["coarse"], params
+        )
+        updates = jax.tree.map(lambda u: u * lr_scale, updates)
+        params = optax.apply_updates(params, updates)
+    if app_on:
+        updates, new_states["app"] = txs["app"].update(
+            grads, opt_states["app"], params
+        )
+        params = optax.apply_updates(params, updates)
+    return params, new_states, total, breakdown
+
+
 def make_train_step(assets: AvatarAssets, config: HarpConfig, rcfg: RasterConfig,
-                    vgg: Vgg16Features | None, txs, masks,
+                    vgg: Vgg16Features | None, txs,
                     extras: dict | None = None):
     """Build the jitted train step for given (static) stage flags."""
 
@@ -197,27 +238,12 @@ def make_train_step(assets: AvatarAssets, config: HarpConfig, rcfg: RasterConfig
     def train_step(params, opt_states, aux, fids, batch_imgs, batch_masks,
                    batch_masks_er, ref_verts, key, lr_scale, *,
                    coarse_on: bool, app_on: bool):
-        (total, breakdown), grads = jax.value_and_grad(
-            lambda p: compute_losses(
-                p, aux, fids, batch_imgs, batch_masks, batch_masks_er, assets,
-                config, rcfg, vgg, ref_verts, key, coarse_on, app_on, extras,
-            ),
-            has_aux=True,
-        )(params)
-
-        new_states = dict(opt_states)
-        if coarse_on:
-            updates, new_states["coarse"] = txs["coarse"].update(
-                grads, opt_states["coarse"], params
-            )
-            updates = jax.tree.map(lambda u: u * lr_scale, updates)
-            params = optax.apply_updates(params, updates)
-        if app_on:
-            updates, new_states["app"] = txs["app"].update(
-                grads, opt_states["app"], params
-            )
-            params = optax.apply_updates(params, updates)
-        return params, new_states, total, breakdown
+        return _grad_step(
+            params, opt_states, aux, fids, batch_imgs, batch_masks,
+            batch_masks_er, ref_verts, key, lr_scale, assets=assets,
+            config=config, rcfg=rcfg, vgg=vgg, txs=txs, extras=extras,
+            coarse_on=coarse_on, app_on=app_on,
+        )
 
     return train_step
 
@@ -232,8 +258,8 @@ def stage_flags(epoch: int, config: HarpConfig):
 
 
 def make_epoch_scan(assets: AvatarAssets, config: HarpConfig, rcfg: RasterConfig,
-                    vgg: Vgg16Features | None, txs, masks, data: FitData,
-                    extras: dict | None = None):
+                    vgg: Vgg16Features | None, txs, data: FitData,
+                    extras: dict | None = None, batch_sharding=None):
     """Multi-epoch fused training: ONE jitted lax.scan over (epochs, steps).
 
     The Python epoch loop dispatches every train step through the host (and,
@@ -249,11 +275,20 @@ def make_epoch_scan(assets: AvatarAssets, config: HarpConfig, rcfg: RasterConfig
     keys_es (E, steps, 2), ref_verts, plateau3 (best, bad, scale), *,
     coarse_on, app_on) -> (params, opt_states, plateau3, totals (E,),
     breakdown dict of (E,)).
+
+    batch_sharding: NamedSharding for the per-minibatch gathers inside the
+    scan — with a frame-sharded sequence (fit_sequence(mesh=...)) this
+    constrains images[fids] etc. to stay frame-sharded; without it GSPMD
+    is free to all-gather the full sequence onto every device.
     """
     images, msks, mers = data.images, data.masks, data.masks_eroded
     patience = jnp.asarray(config.plateau_patience, jnp.int32)
     factor = jnp.asarray(config.plateau_factor, jnp.float32)
     threshold = jnp.float32(1e-4)
+    constrain = (
+        (lambda a: jax.lax.with_sharding_constraint(a, batch_sharding))
+        if batch_sharding is not None else (lambda a: a)
+    )
 
     @partial(jax.jit, static_argnames=("coarse_on", "app_on"),
              donate_argnums=(0, 1))
@@ -262,26 +297,13 @@ def make_epoch_scan(assets: AvatarAssets, config: HarpConfig, rcfg: RasterConfig
         def step_body(carry, xs):
             params, opt_states, lr_scale = carry
             fids, key = xs
-            (total, breakdown), grads = jax.value_and_grad(
-                lambda p: compute_losses(
-                    p, aux, fids, images[fids], msks[fids], mers[fids],
-                    assets, config, rcfg, vgg, ref_verts, key,
-                    coarse_on, app_on, extras,
-                ),
-                has_aux=True,
-            )(params)
-            new_states = dict(opt_states)
-            if coarse_on:
-                updates, new_states["coarse"] = txs["coarse"].update(
-                    grads, opt_states["coarse"], params
-                )
-                updates = jax.tree.map(lambda u: u * lr_scale, updates)
-                params = optax.apply_updates(params, updates)
-            if app_on:
-                updates, new_states["app"] = txs["app"].update(
-                    grads, opt_states["app"], params
-                )
-                params = optax.apply_updates(params, updates)
+            params, new_states, total, breakdown = _grad_step(
+                params, opt_states, aux, fids, constrain(images[fids]),
+                constrain(msks[fids]), constrain(mers[fids]), ref_verts,
+                key, lr_scale, assets=assets, config=config, rcfg=rcfg,
+                vgg=vgg, txs=txs, extras=extras,
+                coarse_on=coarse_on, app_on=app_on,
+            )
             return (params, new_states, lr_scale), (total, breakdown)
 
         def epoch_body(carry, xs):
@@ -367,6 +389,7 @@ def fit_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
         vgg = Vgg16Features.create(weights_path=config.vgg_weights or None)
 
     gather_batch = lambda a, f: a[f]
+    fsh = None
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
         from harp_tpu.parallel.sharding import shard_params, frame_sharding
@@ -395,8 +418,8 @@ def fit_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
         # epoch loop never pulls image data to the host.
         gather_batch = jax.jit(lambda a, f: a[f], out_shardings=fsh)
 
-    txs, opt_states, masks = build_optimizers(params, config)
-    train_step = make_train_step(assets, config, rcfg, vgg, txs, masks, extras)
+    txs, opt_states, _ = build_optimizers(params, config)
+    train_step = make_train_step(assets, config, rcfg, vgg, txs, extras)
 
     logger = None
     if out_dir is not None:
@@ -444,8 +467,8 @@ def fit_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
 
     scan_fn = None
     if epoch_scan and epoch_scan > 1:
-        scan_fn = make_epoch_scan(assets, config, rcfg, vgg, txs, masks,
-                                  data, extras)
+        scan_fn = make_epoch_scan(assets, config, rcfg, vgg, txs, data,
+                                  extras, batch_sharding=fsh)
 
     def _is_action_epoch(e):
         """Epochs after which the python loop does host-side work."""

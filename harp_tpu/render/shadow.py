@@ -32,18 +32,33 @@ from harp_tpu.render.rasterizer import (
 from harp_tpu.render import shading
 
 
-def light_raster_config(raster_cfg: RasterConfig, scale: float) -> RasterConfig:
+def light_raster_config(raster_cfg: RasterConfig, scale: float,
+                        active_scale: float = 1.5) -> RasterConfig:
     """Raster config for the light-view depth pass at `scale` resolution.
 
     A downscaled light map concentrates faces: per-tile peak counts at
     scale 0.5 measured ~1.9x the camera view's (577 vs 305 hand, 548 vs 339
     arm at reference density) — the cap is scaled by 1/scale so the light
-    pass cannot silently truncate what the camera pass holds."""
+    pass cannot silently truncate what the camera pass holds. The light-map
+    size is rounded to a tile multiple (a non-multiple would silently
+    shrink the binned area below the projection's extent); callers must
+    derive Hl and the effective focal scale from the returned
+    `image_size`, not from `round(H * scale)`. The active-tile budget
+    fraction is widened by `active_scale` (the light view can frame the
+    subject larger than the camera view; its overflow counters are
+    surfaced as light_bin_overflow / light_active_overflow in the fit
+    breakdown, so a too-small budget is loud, not silent)."""
     if scale >= 1.0:
         return raster_cfg
-    Hl = int(round(raster_cfg.image_size * scale))
-    cap = -(-int(round(raster_cfg.cap / scale)) // 8) * 8
-    return dataclasses.replace(raster_cfg, image_size=Hl, cap=cap)
+    t = raster_cfg.tile
+    Hl = max(t, int(round(raster_cfg.image_size * scale / t)) * t)
+    s_eff = Hl / raster_cfg.image_size
+    cap = -(-int(round(raster_cfg.cap / s_eff)) // 8) * 8
+    af = raster_cfg.active_fraction
+    if af < 1.0:
+        af = min(1.0, af * active_scale)
+    return dataclasses.replace(raster_cfg, image_size=Hl, cap=cap,
+                               active_fraction=af)
 
 
 def shadow_cameras(cam, light_positions, hand_center, config: HarpConfig):
@@ -166,7 +181,8 @@ def _tap_stack(depth_light, x, y):
     return stack, u * Hp + v
 
 
-def pcf_visibility(depth_light, x, y, a, config: HarpConfig):
+def pcf_visibility(depth_light, x, y, a, config: HarpConfig,
+                   group: int = 256):
     """3x3 percentage-closer filtering (renderer_helper.py:391-408).
 
     depth_light: (B, Hl, Hl) light-view depth map (-1 empty); x, y: (B, ...)
@@ -189,14 +205,17 @@ def pcf_visibility(depth_light, x, y, a, config: HarpConfig):
 
     The loss backward scatters tap grads through _pcf_sum, which drops
     rows outside the f32 sigmoid saturation band when
-    config.pcf_grad_tiles > 0 (see _pcf_sum).
+    config.pcf_grad_tiles > 0 (see _pcf_sum). `group` is the pixel-row
+    group size of that compaction — callers on the compact path pass the
+    raster tile area (tile^2) so groups ARE camera tiles; the full-image
+    path keeps contiguous 256-pixel runs.
     """
     B = depth_light.shape[0]
     shape = a.shape
     stack, pos = _tap_stack(depth_light, x, y)
     vis = _pcf_sum(
         stack, pos, a.reshape(B, -1), config.shadow_sharpness,
-        config.pcf_grad_tiles, 256,
+        config.pcf_grad_tiles, group,
     )
     return (vis / 9.0).reshape(shape)
 
@@ -241,10 +260,9 @@ def render_rgb_with_shadow(
     # Pass 1: depth from the light, optionally at reduced resolution
     # (scaling focal length and image size together scales screen
     # coordinates uniformly).
-    s = config.shadow_map_scale
-    Hl = int(round(H * s))
-    focal_l = config.focal_length * s
-    rcfg_l = light_raster_config(raster_cfg, s)
+    rcfg_l = light_raster_config(raster_cfg, config.shadow_map_scale)
+    Hl = rcfg_l.image_size
+    focal_l = config.focal_length * (Hl / H)
     screen_l = cam_mod.screen_from_world(verts, light_R, light_T, focal_l, Hl)
     _, ids_l = get_ids(screen_l, faces, rcfg_l, False, True)
     _, z_l, mask_l = barycentrics_of(ids_l, screen_l, faces, rcfg_l)
@@ -293,7 +311,10 @@ def shadow_visibility_compact(verts, assets: AvatarAssets, config: HarpConfig,
     Light depth pass rasterizes compactly in the light view, scatters the
     depth map to a full image (fill -1, pytorch3d's empty-zbuf convention),
     then gathers the 3x3 PCF taps only for the camera's active pixels.
-    Returns (vis, light_R, light_T, cam_R, cam_T).
+    Returns (vis, light_R, light_T, cam_R, cam_T, light_counts) where
+    light_counts carries the light pass's raster-budget overflow counters
+    ({"bin_overflow", "active_overflow"}, each (B,)) — the fit surfaces
+    them in the loss breakdown so a truncated light view is loud.
 
     points: optional precomputed camera-hit world points (B, A, P, 3) from
     pipeline.pixel_geometry_compact — skips this function's own
@@ -310,10 +331,9 @@ def shadow_visibility_compact(verts, assets: AvatarAssets, config: HarpConfig,
         cam, light_positions, hand_center, config
     )
     H = config.img_size
-    s = config.shadow_map_scale
-    Hl = int(round(H * s))
-    focal_l = config.focal_length * s
-    rcfg_l = light_raster_config(raster_cfg, s)
+    rcfg_l = light_raster_config(raster_cfg, config.shadow_map_scale)
+    Hl = rcfg_l.image_size
+    focal_l = config.focal_length * (Hl / H)
 
     # Light pass (compact) -> full depth map.
     screen_l = cam_mod.screen_from_world(verts, light_R, light_T, focal_l, Hl)
@@ -342,5 +362,8 @@ def shadow_visibility_compact(verts, assets: AvatarAssets, config: HarpConfig,
     y = jnp.round(spts[..., 1]).astype(jnp.int32).reshape(B, A, P)
 
     a = depth_from_light - config.shadow_bias
-    vis = pcf_visibility(depth_light, x, y, a, config)
-    return vis, light_R, light_T, cam_R, cam_T
+    vis = pcf_visibility(depth_light, x, y, a, config,
+                         group=raster_cfg.tile * raster_cfg.tile)
+    light_counts = {"bin_overflow": lout["bin_overflow"],
+                    "active_overflow": lout["active_overflow"]}
+    return vis, light_R, light_T, cam_R, cam_T, light_counts

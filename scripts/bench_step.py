@@ -21,7 +21,7 @@ key = jax.random.PRNGKey(0)
 one = jnp.asarray(1.0, jnp.float32)
 
 def chain_step(name, coarse_on, app_on, N=15):
-    train_step = make_train_step(assets, config, rcfg, None, txs, gm)
+    train_step = make_train_step(assets, config, rcfg, None, txs)
     p = jax.tree.map(jnp.array, params); s = jax.tree.map(jnp.array, opt_states)
     p, s, total, _ = train_step(p, s, aux, fids, images, masks, masks_er, ref_verts, key, one, coarse_on=coarse_on, app_on=app_on)
     jax.block_until_ready(total)

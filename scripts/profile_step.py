@@ -29,7 +29,7 @@ def run_and_trace(tmpdir):
         assets, config, rcfg, n_frames=B, seed=0)
     params, aux = init_params(init, assets, config)
     txs, opt_states, gm = build_optimizers(params, config)
-    train_step = make_train_step(assets, config, rcfg, None, txs, gm)
+    train_step = make_train_step(assets, config, rcfg, None, txs)
     ref_verts, _ = pipeline.mesh_forward(params, jnp.asarray([0]), assets, config)
     fids = jnp.arange(B)
     key = jax.random.PRNGKey(0)
@@ -57,7 +57,7 @@ def parse(tmpdir, top):
     with open(fn, "rb") as f:
         xs.ParseFromString(f.read())
     for plane in xs.planes:
-        if "TPU" not in plane.name or "v5" not in plane.name.lower() and "TPU" not in plane.name:
+        if "TPU" not in plane.name:
             continue
         evmeta = {m.id: m.name for m in plane.event_metadata.values()}
         dur = defaultdict(float)

@@ -71,6 +71,11 @@ def test_fit_with_shadow_and_vgg_smoke():
     params, history = fit_sequence(config, ASSETS, data, params, aux, rcfg=RCFG)
     assert len(history) == 2
     assert np.isfinite(history[-1]["loss"])
+    # The appearance epoch surfaces the LIGHT pass's raster-budget counters
+    # too (shadow.light_raster_config has its own scaled budget) and none
+    # of them may truncate.
+    assert "light_bin_overflow" in history[-1]
+    assert all(h[k] == 0 for h in history for k in h if k.endswith("overflow"))
 
 
 def test_fit_with_val_rendering(tmp_path):

@@ -87,7 +87,7 @@ def test_real_train_step_sharded_matches_unsharded():
     )
     params, aux = init_params(init, assets, config)
     txs, opt_states, _ = build_optimizers(params, config)
-    train_step = make_train_step(assets, config, rcfg, None, txs, None)
+    train_step = make_train_step(assets, config, rcfg, None, txs)
     ref_verts, _ = pipeline.mesh_forward(params, jnp.asarray([0]), assets, config)
     fids = jnp.arange(n)
     key = jax.random.PRNGKey(0)
@@ -234,6 +234,60 @@ def test_fit_sequence_sharded_matches_unsharded():
             np.asarray(p_sh[k]), p_ref[k], rtol=2e-4,
             atol=3 * 3 * lr + 2e-6,  # Adam sign-flip bound: steps * lr
             err_msg=f"param {k} diverged under sharded fit_sequence",
+        )
+
+
+def test_fit_sequence_mesh_epoch_scan_matches():
+    """mesh + epoch_scan: the fused multi-epoch lax.scan with frame-sharded
+    minibatch gathers (make_epoch_scan's batch_sharding constraint) must
+    track the single-device per-step loop."""
+    import jax.numpy as jnp
+    from harp_tpu.assets import build_synthetic_assets
+    from harp_tpu.config import HarpConfig
+    from harp_tpu.data.synthetic import make_synthetic_sequence
+    from harp_tpu.fit import init_params
+    from harp_tpu.fit.driver import FitData, fit_sequence
+    from harp_tpu.render.rasterizer import RasterConfig
+
+    n = 8
+    assets = build_synthetic_assets(uv_size=32)
+    config = HarpConfig(
+        img_size=32, focal_length=2000.0 * 32 / 448.0, texture_size=32,
+        self_shadow=False, w_vgg=0.0, batch_size=n,
+        total_epoch=4, training_stage=(2, 1, 1),
+    )
+    rcfg = RasterConfig(image_size=32, tile=8, cap=64, bin_chunk=8,
+                        tile_chunk=4, face_chunk=32, faces_per_pixel=4)
+    images, masks, masks_er, gt, init = make_synthetic_sequence(
+        assets, config, rcfg, n_frames=n, seed=0
+    )
+    params, aux = init_params(init, assets, config)
+    params_host = jax.tree.map(np.asarray, params)
+
+    p_ref, h_ref = fit_sequence(
+        config, assets,
+        FitData(images=images, masks=masks, masks_eroded=masks_er),
+        jax.tree.map(jnp.asarray, params_host), dict(aux), rcfg=rcfg, seed=0,
+    )
+    p_ref = jax.tree.map(np.asarray, p_ref)
+
+    mesh = make_mesh(8)
+    p_sh, h_sh = fit_sequence(
+        config, assets,
+        FitData(images=images, masks=masks, masks_eroded=masks_er),
+        jax.tree.map(jnp.asarray, params_host), dict(aux), rcfg=rcfg, seed=0,
+        mesh=mesh, epoch_scan=2,
+    )
+    assert len(p_sh["pose"].sharding.device_set) == 8
+    assert len(h_sh) == len(h_ref)
+    for a, b in zip(h_ref, h_sh):
+        np.testing.assert_allclose(a["loss"], b["loss"], rtol=1e-4)
+    lr = max(HarpConfig().lr_pose, HarpConfig().lr_app)
+    for k in p_ref:
+        np.testing.assert_allclose(
+            np.asarray(p_sh[k]), p_ref[k], rtol=2e-4,
+            atol=4 * 3 * lr + 2e-6,  # Adam sign-flip bound: steps * lr
+            err_msg=f"param {k} diverged under sharded epoch_scan fit",
         )
 
 

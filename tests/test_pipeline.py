@@ -191,3 +191,33 @@ def test_shadow_half_res_map_close_to_full():
     half = np.asarray(render_rgb_with_shadow(verts, ASSETS, half_cfg, RCFG, *args))
     # Mean difference small; only shadow-edge pixels may differ.
     assert np.abs(full - half).mean() < 0.02
+
+
+def test_shadow_scale_rounds_light_map_to_tile_multiple():
+    """A scale whose raw light-map size is not a tile multiple must round to
+    one (a non-multiple silently shrinks the binned area below the
+    projection's extent) and the render must stay close to full-res."""
+    import dataclasses
+    from harp_tpu.render.shadow import light_raster_config
+
+    rl = light_raster_config(RCFG, 0.4)
+    assert rl.image_size % rl.tile == 0
+    # Budget-fraction widening only applies when compaction is on.
+    assert rl.active_fraction == RCFG.active_fraction
+    compact = dataclasses.replace(RCFG, active_fraction=0.5)
+    assert light_raster_config(compact, 0.5).active_fraction == 0.75
+    # The failure case this guards: 360 at scale 0.5 with tile 16 would
+    # raw-round to 180 (not a tile multiple); it must land on 176.
+    big = dataclasses.replace(RCFG, image_size=360, tile=16)
+    assert light_raster_config(big, 0.5).image_size == 176
+
+    params = make_params()
+    fids = jnp.asarray([0])
+    verts, _ = pipeline.mesh_forward(params, fids, ASSETS, CONFIG)
+    args = (params["cam"][fids], params["light_positions"][fids],
+            params["amb_ratio"], params["texture"], params["normal_map"])
+    full = np.asarray(render_rgb_with_shadow(verts, ASSETS, CONFIG, RCFG, *args))
+    cfg4 = dataclasses.replace(CONFIG, shadow_map_scale=0.4)
+    quarter = np.asarray(render_rgb_with_shadow(verts, ASSETS, cfg4, RCFG, *args))
+    assert np.all(np.isfinite(quarter))
+    assert np.abs(full - quarter).mean() < 0.03
