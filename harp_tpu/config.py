@@ -100,6 +100,13 @@ class HarpConfig:
     # Empty -> deterministic random filters, and perceptual metrics report as
     # LPIPS_proxy instead of LPIPS.
     vgg_weights: str = ""
+    # Frames per lax.map(checkpoint) group inside the perceptual loss. The
+    # unchunked VGG pyramid at 448^2 x B18 holds ~10 GB of activation temps
+    # — the train step only fit a 16 GB v5e with nothing else resident and
+    # crashed the TPU worker mid-protocol once logging/scan executables
+    # accumulated. Chunking is numerically exact (sum over frames).
+    # 0 disables chunking.
+    vgg_chunk: int = 6
     # "pickle": synchronous atomic checkpoint.pkl (reference-compatible
     # simplicity); "orbax": async background checkpointing with retention
     # (harp_tpu.utils.orbax_io).

@@ -102,17 +102,26 @@ def ms_ssim(x, y, data_range: float = 1.0, weights=MS_SSIM_WEIGHTS,
     return float(out.mean())
 
 
-def perceptual_distance(vgg: Vgg16Features, x, y) -> float:
+def perceptual_distance(vgg: Vgg16Features, x, y, chunk: int = 8) -> float:
     """LPIPS-style distance: unit-normalize features per channel, mean squared
-    difference per layer, summed (uniform layer weights)."""
-    fx = vgg.slices(jnp.asarray(x))[1:]
-    fy = vgg.slices(jnp.asarray(y))[1:]
-    total = 0.0
-    for a, b in zip(fx, fy):
-        an = a / jnp.maximum(jnp.linalg.norm(a, axis=-1, keepdims=True), 1e-10)
-        bn = b / jnp.maximum(jnp.linalg.norm(b, axis=-1, keepdims=True), 1e-10)
-        total = total + ((an - bn) ** 2).sum(-1).mean(axis=(1, 2))
-    return float(jnp.mean(total))
+    difference per layer, summed (uniform layer weights).
+
+    Frames are processed in `chunk`-sized groups: holding every pyramid
+    slice of a 64-frame eval batch live costs ~13 GB per side at 448^2 —
+    chunking is exact (the metric is a mean of per-frame values)."""
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    per_frame = []
+    for s in range(0, x.shape[0], max(int(chunk), 1)):
+        fx = vgg.slices(x[s:s + chunk])[1:]
+        fy = vgg.slices(y[s:s + chunk])[1:]
+        total = 0.0
+        for a, b in zip(fx, fy):
+            an = a / jnp.maximum(jnp.linalg.norm(a, axis=-1, keepdims=True), 1e-10)
+            bn = b / jnp.maximum(jnp.linalg.norm(b, axis=-1, keepdims=True), 1e-10)
+            total = total + ((an - bn) ** 2).sum(-1).mean(axis=(1, 2))
+        per_frame.append(np.asarray(total))
+    return float(np.concatenate(per_frame).mean())
 
 
 def image_eval(images_for_eval: dict, vgg: Vgg16Features | None = None) -> dict:

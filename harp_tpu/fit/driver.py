@@ -154,7 +154,8 @@ def compute_losses(params, aux, fids, batch_imgs, batch_masks, batch_masks_er,
         if vgg is not None:
             rgb = scatter_tiles(rgb_c, act_idx, rcfg, bg)
             m = batch_masks_er[..., None]
-            losses["vgg"] = vgg_feature_l1(vgg, rgb * m, batch_imgs * m)
+            losses["vgg"] = vgg_feature_l1(vgg, rgb * m, batch_imgs * m,
+                                           chunk=config.vgg_chunk)
         if config.model_type not in ("nimble", "html"):
             k1, k2 = jax.random.split(key)
             losses["albedo"] = albedo_reg(
@@ -186,6 +187,7 @@ def compute_losses(params, aux, fids, batch_imgs, batch_masks, batch_masks_er,
     breakdown = dict(losses)
     breakdown["bin_overflow"] = rout["bin_overflow"].sum().astype(jnp.float32)
     breakdown["active_overflow"] = rout["active_overflow"].sum().astype(jnp.float32)
+    breakdown["span_overflow"] = rout["span_overflow"].sum().astype(jnp.float32)
     if app_on and config.self_shadow:
         # The light-view depth pass has its own (scaled) raster budget
         # (shadow.light_raster_config); surface its truncation counters too
@@ -195,6 +197,8 @@ def compute_losses(params, aux, fids, batch_imgs, batch_masks, batch_masks_er,
             light_counts["bin_overflow"].sum().astype(jnp.float32))
         breakdown["light_active_overflow"] = (
             light_counts["active_overflow"].sum().astype(jnp.float32))
+        breakdown["light_span_overflow"] = (
+            light_counts["span_overflow"].sum().astype(jnp.float32))
     return total, breakdown
 
 
@@ -616,6 +620,26 @@ def fit_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
     return params, history
 
 
+# Compiled logging-render cache. The loggers below run every
+# image_log_every/val_log_every epochs; defining their @jax.jit closure
+# inside the function would recompile on EVERY call (the cache key is the
+# function object) and permanently load one more executable on the device
+# each time — the round-3 448^2 protocol runs crashed the TPU worker out of
+# HBM at epoch ~191 after ~19 such raster programs had accumulated. Entries
+# hold strong refs to the captured objects so id()-reuse cannot alias.
+_LOG_RENDER_CACHE: dict = {}
+
+
+def _cached_render(kind, n, objs, build):
+    key = (kind, n) + tuple(id(o) for o in objs)
+    hit = _LOG_RENDER_CACHE.get(key)
+    if hit is not None and all(a is b for a, b in zip(hit[0], objs)):
+        return hit[1]
+    fn = build()
+    _LOG_RENDER_CACHE[key] = (objs, fn)
+    return fn
+
+
 def _log_images(params, aux, data, assets, config, rcfg, out_dir, epoch):
     """Silhouette overlay + RGB pair grids for the first frames
     (reference show_img_pair logging, optimize_sequence.py:490-501)."""
@@ -623,19 +647,25 @@ def _log_images(params, aux, data, assets, config, rcfg, out_dir, epoch):
     from harp_tpu.utils import viz
 
     n = min(9, data.num_frames)
-    fids = jnp.arange(n)
 
-    @jax.jit
-    def render(p):
-        verts, _ = pipeline.mesh_forward(p, fids, assets, config)
-        R, T = pipeline.camera_for_frames(p, fids, config)
-        alpha = pipeline.render_silhouette(verts, assets, R, T, config, rcfg)
-        light = jnp.broadcast_to(p["light_positions"][0], (n, 3))
-        rgb = pipeline.render_rgb(
-            verts, assets, R, T, config, rcfg, p["texture"], p["normal_map"], light
-        )
-        return alpha, rgb
+    def build():
+        fids = jnp.arange(n)
 
+        @jax.jit
+        def render(p):
+            verts, _ = pipeline.mesh_forward(p, fids, assets, config)
+            R, T = pipeline.camera_for_frames(p, fids, config)
+            alpha = pipeline.render_silhouette(verts, assets, R, T, config, rcfg)
+            light = jnp.broadcast_to(p["light_positions"][0], (n, 3))
+            rgb = pipeline.render_rgb(
+                verts, assets, R, T, config, rcfg, p["texture"],
+                p["normal_map"], light
+            )
+            return alpha, rgb
+
+        return render
+
+    render = _cached_render("log_images", n, (assets, config, rcfg), build)
     alpha, rgb = render(params)
     viz.save_pair_grid(
         np.asarray(alpha), np.asarray(data.masks[:n]),
@@ -658,7 +688,6 @@ def _log_val_images(params, val_params, val_data, assets, config, rcfg,
     from harp_tpu.render.shadow import render_rgb_with_shadow
 
     n = min(9, val_data.num_frames)
-    fids = jnp.arange(n)
     shared_keys = ("shape", "verts_disps", "texture", "normal_map",
                    "amb_ratio", "html_texture", "light_positions")
     render_params = dict(val_params or {})
@@ -666,26 +695,33 @@ def _log_val_images(params, val_params, val_data, assets, config, rcfg,
         if k in params:
             render_params[k] = params[k]
 
-    @jax.jit
-    def render(p):
-        verts, _ = pipeline.mesh_forward(p, fids, assets, config)
-        R, T = pipeline.camera_for_frames(p, fids, config)
-        if config.model_type == "html" and extras and "texture_basis" in extras:
-            texture = extras["texture_basis"].texture(p["html_texture"])
-        else:
-            texture = p["texture"]
-        light = jnp.broadcast_to(p["light_positions"][0], (n, 3))
-        if config.self_shadow:
-            rgb = render_rgb_with_shadow(
-                verts, assets, config, rcfg, p["cam"][fids], light,
-                p["amb_ratio"], texture, p["normal_map"],
-            )
-        else:
-            rgb = pipeline.render_rgb(
-                verts, assets, R, T, config, rcfg, texture, p["normal_map"], light
-            )
-        return rgb
+    def build():
+        fids = jnp.arange(n)
 
+        @jax.jit
+        def render(p):
+            verts, _ = pipeline.mesh_forward(p, fids, assets, config)
+            R, T = pipeline.camera_for_frames(p, fids, config)
+            if config.model_type == "html" and extras and "texture_basis" in extras:
+                texture = extras["texture_basis"].texture(p["html_texture"])
+            else:
+                texture = p["texture"]
+            light = jnp.broadcast_to(p["light_positions"][0], (n, 3))
+            if config.self_shadow:
+                rgb = render_rgb_with_shadow(
+                    verts, assets, config, rcfg, p["cam"][fids], light,
+                    p["amb_ratio"], texture, p["normal_map"],
+                )
+            else:
+                rgb = pipeline.render_rgb(
+                    verts, assets, R, T, config, rcfg, texture,
+                    p["normal_map"], light
+                )
+            return rgb
+
+        return render
+
+    render = _cached_render("log_val", n, (assets, config, rcfg, extras), build)
     rgb = render(render_params)
     viz.save_pair_grid(
         np.asarray(rgb), np.asarray(val_data.images[:n]),

@@ -97,15 +97,49 @@ class Vgg16Features:
         return feats
 
 
-def vgg_feature_l1(vgg: Vgg16Features, pred: jnp.ndarray, true: jnp.ndarray) -> jnp.ndarray:
-    """L1 over the weighted concatenated feature vector (model/vgg.py:40-55 +
-    torch.nn.L1Loss mean semantics), computed slice-wise without
-    materializing the concatenation."""
+def _feature_abs_sum(vgg: Vgg16Features, pred: jnp.ndarray, true: jnp.ndarray):
+    """Weighted sum of |feat(pred) - feat(true)| over all pyramid slices
+    (no normalization — the caller divides by the static feature count)."""
     fp = vgg.slices(pred)
     ft = vgg.slices(true)
     total_abs = 0.0
-    total_n = 0
     for w, a, b in zip(vgg.layers_weights, fp, ft):
         total_abs = total_abs + w * jnp.abs(a - b).sum()
-        total_n += int(np.prod(a.shape[1:])) * a.shape[0]
-    return total_abs / total_n
+    return total_abs
+
+
+def _feature_count_per_frame(vgg: Vgg16Features, h: int, wdt: int) -> int:
+    """Static element count of one frame's feature pyramid (for the L1 mean)."""
+    n = h * wdt * 3  # the raw image slice
+    ch_per_slice = [64, 128, 256, 512]
+    for si, c in enumerate(ch_per_slice):
+        sh, sw = h // (2 ** si), wdt // (2 ** si)
+        n += sh * sw * c
+    return n
+
+
+def vgg_feature_l1(vgg: Vgg16Features, pred: jnp.ndarray, true: jnp.ndarray,
+                   chunk: int | None = None) -> jnp.ndarray:
+    """L1 over the weighted concatenated feature vector (model/vgg.py:40-55 +
+    torch.nn.L1Loss mean semantics), computed slice-wise without
+    materializing the concatenation.
+
+    chunk: process the batch in `chunk`-frame groups through a
+    lax.map(jax.checkpoint(...)) — EXACT (the loss is a sum over frames)
+    but bounds the live activation set to one group's pyramid instead of
+    the whole batch's. At 448^2 x B18 the unchunked loss costs ~10 GB of
+    activation temps inside the train step (the whole step measured 13.1 GB
+    — it only ever fit on an otherwise-empty 16 GB v5e and crashed the TPU
+    worker once other programs' code accumulated); chunk=6 brings the step
+    to ~4 GB. If B is not divisible, the largest divisor <= chunk is used."""
+    B = pred.shape[0]
+    total_n = _feature_count_per_frame(vgg, pred.shape[1], pred.shape[2]) * B
+    if not chunk or chunk >= B:
+        return _feature_abs_sum(vgg, pred, true) / total_n
+    c = max(d for d in range(1, int(chunk) + 1) if B % d == 0)
+    n = B // c
+    pr = pred.reshape((n, c) + pred.shape[1:])
+    tr = true.reshape((n, c) + true.shape[1:])
+    body = jax.checkpoint(lambda pt: _feature_abs_sum(vgg, pt[0], pt[1]))
+    sums = jax.lax.map(body, (pr, tr))
+    return sums.sum() / total_n

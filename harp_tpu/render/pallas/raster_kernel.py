@@ -255,7 +255,7 @@ def pallas_raster_compact(verts_px, faces, cfg: RasterConfig,
     assert cfg.cap % FG == 0, f"cap {cfg.cap} must be a multiple of {FG}"
 
     fv = verts_px[:, faces]  # (B, F, 3, 3)
-    s_face, start, counts_clean, counts = _bin_pairs(fv, cfg)
+    s_face, start, counts_clean, counts, span_cnt = _bin_pairs(fv, cfg)
 
     # Active-tile compaction: pre-gather and rasterize only the A
     # most-loaded tiles (top_k also sorts them most-loaded first, so tiles
@@ -341,6 +341,7 @@ def pallas_raster_compact(verts_px, faces, cfg: RasterConfig,
         "hard_ids": outs[0].reshape(B, A, P)[:, :A_eff],
         "bin_overflow": (counts > cfg.cap).sum(axis=-1),
         "active_overflow": jnp.maximum((counts > 0).sum(-1) - A_eff, 0),
+        "span_overflow": span_cnt,
     }
     if need_soft:
         _, soft, ssum = outs

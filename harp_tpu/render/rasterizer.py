@@ -244,7 +244,12 @@ def _bin_pairs(fv: jnp.ndarray, cfg: RasterConfig):
     counts_rep = counts.at[brow, first_tile].add(
         jnp.where(span_trunc, cfg.cap + 1, 0)
     )
-    return s_face, start, counts, counts_rep
+    # (B,) span-truncated face count, reported separately as span_overflow
+    # so a budget miss can be attributed: span_overflow > 0 means triangles
+    # larger than span_tiles * tile px (raise span_tiles); bin_overflow
+    # without span means a genuine per-tile cap excess (raise cap).
+    span_cnt = span_trunc.sum(-1).astype(jnp.int32)
+    return s_face, start, counts, counts_rep, span_cnt
 
 
 def _gather_tile_ids(s_face, start, counts_clean, tiles, cap: int):
@@ -279,10 +284,10 @@ def _bin_faces(fv: jnp.ndarray, cfg: RasterConfig):
     B = fv.shape[0]
     nt = cfg.image_size // cfg.tile
     T = nt * nt
-    s_face, start, counts, counts_rep = _bin_pairs(fv, cfg)
+    s_face, start, counts, counts_rep, span_cnt = _bin_pairs(fv, cfg)
     tiles = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
     ids = _gather_tile_ids(s_face, start, counts, tiles, cfg.cap)
-    return ids, counts_rep
+    return ids, counts_rep, span_cnt
 
 
 def _bin_faces_dense(fv: jnp.ndarray, cfg: RasterConfig):
@@ -355,7 +360,7 @@ def _rasterize_ids(verts_px, faces, cfg: RasterConfig, need_soft: bool,
                    need_hard: bool, compact: bool = False):
     B = verts_px.shape[0]
     fv = verts_px[:, faces]  # (B, F, 3, 3)
-    tile_ids, counts = _bin_faces(fv, cfg)
+    tile_ids, counts, span_cnt = _bin_faces(fv, cfg)
     ts, K = cfg.tile, cfg.faces_per_pixel
     nt = cfg.image_size // ts
     T = nt * nt
@@ -479,6 +484,7 @@ def _rasterize_ids(verts_px, faces, cfg: RasterConfig, need_soft: bool,
         "bin_overflow": (counts > cfg.cap).sum(axis=-1),
         # Tiles with faces that did not fit the active budget.
         "active_overflow": jnp.maximum((counts > 0).sum(-1) - A, 0),
+        "span_overflow": span_cnt,
     }
     if compact:
         out["act_idx"] = act_idx

@@ -365,5 +365,6 @@ def shadow_visibility_compact(verts, assets: AvatarAssets, config: HarpConfig,
     vis = pcf_visibility(depth_light, x, y, a, config,
                          group=raster_cfg.tile * raster_cfg.tile)
     light_counts = {"bin_overflow": lout["bin_overflow"],
-                    "active_overflow": lout["active_overflow"]}
+                    "active_overflow": lout["active_overflow"],
+                    "span_overflow": lout["span_overflow"]}
     return vis, light_R, light_T, cam_R, cam_T, light_counts

@@ -27,7 +27,7 @@ def timeit(name, f, *a, n=10):
     return out
 
 # 1. binning only
-f_bin = jax.jit(lambda s: _bin_faces(s[:, faces], rcfg))
+f_bin = jax.jit(lambda s: _bin_faces(s[:, faces], rcfg)[:2])
 tile_ids, counts = timeit('bin', f_bin, screen)
 
 # 2. bin + compaction + pre-gather (everything before the kernel)
@@ -36,7 +36,7 @@ T_ = (cfg.image_size//cfg.tile)**2
 A = min(max(-(-int(T_*cfg.active_fraction)//rk.TC),1)*rk.TC, T_)
 def pregather(s):
     fv = s[:, faces]
-    tile_ids, counts = _bin_faces(fv, cfg)
+    tile_ids, counts, _ = _bin_faces(fv, cfg)
     _, act_idx = jax.lax.top_k(counts, A)
     act_idx = act_idx.astype(jnp.int32)
     tile_ids_a = jnp.take_along_axis(tile_ids, act_idx[:,:,None], axis=1)

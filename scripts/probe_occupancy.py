@@ -62,7 +62,7 @@ def main():
     screen = cam_mod.screen_from_world(verts, R, T, config.focal_length,
                                        config.img_size)
     fv = screen[:, jnp.asarray(assets.render_faces)]
-    _, counts = jax.jit(lambda f: _bin_faces(f, rcfg))(fv)
+    _, counts, _ = jax.jit(lambda f: _bin_faces(f, rcfg))(fv)
     counts = np.asarray(counts)
     T_tiles = counts.shape[1]
     print(f"mesh: {V} verts / {assets.render_faces.shape[0]} faces, "
@@ -84,7 +84,7 @@ def main():
         v2, _ = pipeline.mesh_forward(p2, fids, assets, config)
         s2 = cam_mod.screen_from_world(v2, R, T, config.focal_length,
                                        config.img_size)
-        _, c2 = jax.jit(lambda f: _bin_faces(f, rcfg))(
+        _, c2, _ = jax.jit(lambda f: _bin_faces(f, rcfg))(
             s2[:, jnp.asarray(assets.render_faces)])
         peaks.append(int(np.asarray(c2).max()))
     print(f"pose/cam-jitter peak sweep: max {max(peaks)}, "

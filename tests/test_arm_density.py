@@ -59,7 +59,7 @@ def test_arm_reference_density_fits_protocol_budget():
     for seed, jitter in ((0, 0.0), (1, 0.1), (2, 0.2)):
         screen, assets = _arm_screen(B=2, img=448, seed=seed, jitter=jitter)
         fv = screen[:, jnp.asarray(assets.render_faces)]
-        _, counts = _bin_faces(fv, rcfg)
+        _, counts, _ = _bin_faces(fv, rcfg)
         counts = np.asarray(counts)
         assert counts.max() <= rcfg.cap, (
             f"arm per-tile count {counts.max()} exceeds cap {rcfg.cap} "

@@ -56,6 +56,7 @@ def test_fit_improves_silhouette_and_loss():
     # The raster budget must never silently truncate the subject.
     assert all(h["bin_overflow"] == 0 for h in history), "bin capacity overflow"
     assert all(h["active_overflow"] == 0 for h in history), "active budget overflow"
+    assert all(h["span_overflow"] == 0 for h in history), "span truncation"
 
 
 def test_fit_with_shadow_and_vgg_smoke():

@@ -193,7 +193,7 @@ def test_pair_binning_matches_dense():
     fv = jnp.asarray(
         np.concatenate([c + d, np.ones((2, 60, 3, 1), np.float32)], -1)
     )
-    ids_p, counts_p = jax.jit(lambda x: _bin_faces(x, cfg))(fv)
+    ids_p, counts_p, _ = jax.jit(lambda x: _bin_faces(x, cfg))(fv)
     ids_d, counts_d = jax.jit(lambda x: _bin_faces_dense(x, cfg))(fv)
     np.testing.assert_array_equal(np.asarray(counts_p), np.asarray(counts_d))
     np.testing.assert_array_equal(np.asarray(ids_p), np.asarray(ids_d))
@@ -213,7 +213,7 @@ def test_pair_binning_cap_truncation_matches_dense():
     fv = jnp.asarray(np.concatenate(
         [xy, np.ones((1, 20, 3, 1), np.float32)], -1
     ).astype(np.float32))
-    ids_p, counts_p = jax.jit(lambda x: _bin_faces(x, cfg))(fv)
+    ids_p, counts_p, _ = jax.jit(lambda x: _bin_faces(x, cfg))(fv)
     ids_d, counts_d = jax.jit(lambda x: _bin_faces_dense(x, cfg))(fv)
     np.testing.assert_array_equal(np.asarray(counts_p), np.asarray(counts_d))
     np.testing.assert_array_equal(np.asarray(ids_p), np.asarray(ids_d))
@@ -237,7 +237,7 @@ def test_pair_binning_span_truncation_flagged():
         np.array([[[[1.0, 1.0, 1.0], [60.0, 1.0, 1.0], [1.0, 60.0, 1.0]]]],
                  np.float32)
     )
-    ids_p, counts_p = jax.jit(lambda x: _bin_faces(x, cfg))(fv)
+    ids_p, counts_p, _ = jax.jit(lambda x: _bin_faces(x, cfg))(fv)
     ids_d, counts_d = jax.jit(lambda x: _bin_faces_dense(x, cfg))(fv)
     counts_p = np.asarray(counts_p)[0]
     # Dense sees the face in many tiles; pair keeps only span^2 lowest.
