@@ -25,7 +25,7 @@ import numpy as np
 REFERENCE_FRAMES_PER_SEC_ESTIMATE = 8.0
 
 
-def measure(B: int, use_arm: bool = False) -> float:
+def measure(B: int, use_arm: bool = False, use_vgg: bool = False) -> float:
     """Trimmed-mean steady-state frames/s of the full train step at 448^2."""
     import jax
     import jax.numpy as jnp
@@ -42,7 +42,12 @@ def measure(B: int, use_arm: bool = False) -> float:
     )
     params, aux = init_params(init, assets, config)
     txs, opt_states, group_masks = build_optimizers(params, config)
-    train_step = make_train_step(assets, config, rcfg, None, txs)
+    vgg = None
+    if use_vgg:
+        from harp_tpu.losses.perceptual import Vgg16Features
+
+        vgg = Vgg16Features.create(weights_path=config.vgg_weights or None)
+    train_step = make_train_step(assets, config, rcfg, vgg, txs)
     ref_verts, _ = pipeline.mesh_forward(params, jnp.asarray([0]), assets, config)
     ref_verts = ref_verts[0]
     fids = jnp.arange(B)
@@ -98,6 +103,12 @@ def main():
         out["value_arm_b18"] = round(measure(18, use_arm=True), 3)
     except Exception as e:  # the headline must survive an arm-path failure
         out["arm_error"] = f"{type(e).__name__}: {e}"[:200]
+    try:
+        # Secondary: appearance-stage step including the VGG16 perceptual
+        # term (the reference's stage-2/3 step; chunked via config.vgg_chunk).
+        out["value_vgg_b18"] = round(measure(18, use_vgg=True), 3)
+    except Exception as e:
+        out["vgg_error"] = f"{type(e).__name__}: {e}"[:200]
     print(json.dumps(out))
 
 

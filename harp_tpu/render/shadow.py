@@ -33,16 +33,22 @@ from harp_tpu.render import shading
 
 
 def light_raster_config(raster_cfg: RasterConfig, scale: float,
-                        active_scale: float = 1.5) -> RasterConfig:
+                        active_scale: float = 1.5,
+                        cap_slack: float = 1.5) -> RasterConfig:
     """Raster config for the light-view depth pass at `scale` resolution.
 
     A downscaled light map concentrates faces: per-tile peak counts at
     scale 0.5 measured ~1.9x the camera view's (577 vs 305 hand, 548 vs 339
     arm at reference density) — the cap is scaled by 1/scale so the light
-    pass cannot silently truncate what the camera pass holds. The light-map
-    size is rounded to a tile multiple (a non-multiple would silently
-    shrink the binned area below the projection's extent); callers must
-    derive Hl and the effective focal scale from the returned
+    pass cannot silently truncate what the camera pass holds, times
+    `cap_slack` headroom: the light DIRECTION moves during the fit and
+    oblique directions concentrate further (scripts/probe_light_cap.py:
+    1274 peak over an 8-direction sweep vs 626 at the converged light at
+    reference hand density / 448^2 / scale 0.5 — the unslacked cap 896
+    overflowed one tile on the protocol's first shadowed epoch). The
+    light-map size is rounded to a tile multiple (a non-multiple would
+    silently shrink the binned area below the projection's extent);
+    callers must derive Hl and the effective focal scale from the returned
     `image_size`, not from `round(H * scale)`. The active-tile budget
     fraction is widened by `active_scale` (the light view can frame the
     subject larger than the camera view; its overflow counters are
@@ -53,7 +59,7 @@ def light_raster_config(raster_cfg: RasterConfig, scale: float,
     t = raster_cfg.tile
     Hl = max(t, int(round(raster_cfg.image_size * scale / t)) * t)
     s_eff = Hl / raster_cfg.image_size
-    cap = -(-int(round(raster_cfg.cap / s_eff)) // 8) * 8
+    cap = -(-int(round(raster_cfg.cap / s_eff * cap_slack)) // 8) * 8
     af = raster_cfg.active_fraction
     if af < 1.0:
         af = min(1.0, af * active_scale)

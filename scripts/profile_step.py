@@ -29,7 +29,11 @@ def run_and_trace(tmpdir):
         assets, config, rcfg, n_frames=B, seed=0)
     params, aux = init_params(init, assets, config)
     txs, opt_states, gm = build_optimizers(params, config)
-    train_step = make_train_step(assets, config, rcfg, None, txs)
+    vgg = None
+    if os.environ.get("BENCH_VGG", "0") == "1":
+        from harp_tpu.losses.perceptual import Vgg16Features
+        vgg = Vgg16Features.create(weights_path=config.vgg_weights or None)
+    train_step = make_train_step(assets, config, rcfg, vgg, txs)
     ref_verts, _ = pipeline.mesh_forward(params, jnp.asarray([0]), assets, config)
     fids = jnp.arange(B)
     key = jax.random.PRNGKey(0)
