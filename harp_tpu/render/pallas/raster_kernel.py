@@ -289,22 +289,28 @@ def pallas_raster_compact(verts_px, faces, cfg: RasterConfig,
 
     # Pre-gather packed per-tile face rows: 9 vertex floats + the face id
     # as an exact float value in lane 9 (read back in-kernel; see _kernel).
+    # Padding slots (tile id -1) redirect to an all-zero SENTINEL row at
+    # index F instead of being masked post-gather: the earlier
+    # where(tile_ids >= 0, ...) materialized a (B, A, cap) pred mask whose
+    # packed-bool relayout copies cost 2 x 29 ms/step at 448^2 x B18 in the
+    # profile. Zero vertices make the face degenerate (area == 0), so
+    # correctness never depends on the in-kernel count masking either way.
     F = fv.shape[1]
-    assert F < 2**24, "face ids must be exactly representable in float32"
-    id_lane = jnp.arange(F, dtype=jnp.float32)[None, :, None]
+    assert F + 1 < 2**24, "face ids must be exactly representable in float32"
+    id_lane = jnp.arange(F + 1, dtype=jnp.float32)[None, :, None]
+    fv_rows = jnp.concatenate(
+        [fv.reshape(B, -1, 9), jnp.zeros((B, 1, 9), verts_px.dtype)], 1
+    )
     fv_pack = jnp.concatenate(
         [
-            fv.reshape(B, -1, 9),
-            jnp.broadcast_to(id_lane, (B, F, 1)).astype(verts_px.dtype),
-            jnp.zeros((B, F, ROW - 10), verts_px.dtype),
+            fv_rows,
+            jnp.broadcast_to(id_lane, (B, F + 1, 1)).astype(verts_px.dtype),
+            jnp.zeros((B, F + 1, ROW - 10), verts_px.dtype),
         ],
         -1,
-    )  # (B, F, ROW)
-    safe = jnp.maximum(tile_ids_a, 0).reshape(B, A * cfg.cap)
+    )  # (B, F+1, ROW)
+    safe = jnp.where(tile_ids_a >= 0, tile_ids_a, F).reshape(B, A * cfg.cap)
     fvt = jnp.take_along_axis(fv_pack, safe[:, :, None], axis=1)
-    # Zero padding rows: zero vertices make the face degenerate (area == 0),
-    # so correctness never depends on the in-kernel count masking.
-    fvt = jnp.where((tile_ids_a >= 0).reshape(B, A * cfg.cap)[:, :, None], fvt, 0.0)
     fvt = fvt.reshape(B, A // TC, TC, cfg.cap, ROW)
 
     kernel = partial(_kernel, cfg=cfg, K=K, nt=nt, A=A, need_soft=need_soft)
@@ -504,11 +510,13 @@ def pallas_coverage_grad(pack, g_compact, faces, num_verts: int,
     fid = fvt.reshape(B, A * cap, ROW)[..., 9].astype(jnp.int32)
     grads9 = out[..., :9]
     F = faces.shape[0]
-    # Segment-sum rows by face id. Padding rows carry id 0 but ZERO grads
-    # (the kernel zeroes beyond-count rows), so they contribute nothing.
-    per_face = jnp.zeros((B, F, 9), jnp.float32)
+    # Segment-sum rows by face id. Padding rows carry the sentinel id F
+    # (see the zero-row gather in pallas_raster_compact) and ZERO grads
+    # (the kernel zeroes beyond-count rows); they land in the extra row
+    # F, which is sliced off.
+    per_face = jnp.zeros((B, F + 1, 9), jnp.float32)
     brow = jnp.arange(B)[:, None]
-    per_face = per_face.at[brow, fid].add(grads9)
+    per_face = per_face.at[brow, fid].add(grads9)[:, :F]
     # (B, F, 3 verts, 3 coords) -> scatter into vertices via the face table.
     vidx = jnp.broadcast_to(faces.reshape(-1)[None], (B, F * 3))
     dverts = jnp.zeros((B, num_verts, 3), jnp.float32)
