@@ -83,6 +83,15 @@ def evaluate_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
     render_jit = jax.jit(
         lambda p, f: _render_frame_batch(p, f, assets, config, rcfg)
     )
+    # Align the batch to the frame count when possible: a ragged tail batch
+    # is a SECOND compile of the 3-render program (~20-30 s on the tunnel),
+    # which dwarfs any per-batch efficiency difference.
+    if n % render_batch:
+        aligned = max(
+            (b for b in range(2, render_batch + 1) if n % b == 0), default=0
+        )
+        if aligned >= max(2, render_batch // 2):
+            render_batch = aligned
     for start in range(0, n, render_batch):
         fids = jnp.arange(start, min(start + render_batch, n))
         verts, alpha, rgb, normal_img = render_jit(params, fids)
