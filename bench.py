@@ -44,9 +44,15 @@ def measure(B: int, use_arm: bool = False, use_vgg: bool = False) -> float:
     txs, opt_states, group_masks = build_optimizers(params, config)
     vgg = None
     if use_vgg:
-        from harp_tpu.losses.perceptual import Vgg16Features
+        from harp_tpu.losses.perceptual import Vgg16Features, precompute_slices
 
         vgg = Vgg16Features.create(weights_path=config.vgg_weights or None)
+        # GT-side pyramids cached once, like fit_sequence does — the bench
+        # measures the step the protocol actually runs.
+        masked = images * masks_er[..., None]
+        aux = dict(aux, vgg_gt=jax.jit(
+            lambda im: precompute_slices(vgg, im, chunk=config.vgg_chunk)
+        )(masked))
     train_step = make_train_step(assets, config, rcfg, vgg, txs)
     ref_verts, _ = pipeline.mesh_forward(params, jnp.asarray([0]), assets, config)
     ref_verts = ref_verts[0]

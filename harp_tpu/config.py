@@ -107,6 +107,14 @@ class HarpConfig:
     # accumulated. Chunking is numerically exact (sum over frames).
     # 0 disables chunking.
     vgg_chunk: int = 6
+    # Cache the GT-side VGG feature pyramids once per sequence (bf16) so the
+    # train step runs only the pred-side VGG forward: the GT frame is a
+    # constant per fid, yet the reference recomputes its network forward
+    # every step (optimize_sequence.py:546-547). ~49 MB HBM/frame at 448²;
+    # the max_frames guard keeps the cache off for long sequences where it
+    # would crowd out the step's working set (16 GB v5e budget).
+    vgg_cache_gt: bool = True
+    vgg_cache_max_frames: int = 48
     # "pickle": synchronous atomic checkpoint.pkl (reference-compatible
     # simplicity); "orbax": async background checkpointing with retention
     # (harp_tpu.utils.orbax_io).

@@ -31,6 +31,7 @@ from harp_tpu.losses import (
     normal_reg,
     Vgg16Features,
     vgg_feature_l1,
+    vgg_feature_l1_cached,
 )
 from harp_tpu.ops.mesh import laplacian_smoothing_loss, normal_consistency_loss
 from harp_tpu.render import pipeline
@@ -154,8 +155,15 @@ def compute_losses(params, aux, fids, batch_imgs, batch_masks, batch_masks_er,
         if vgg is not None:
             rgb = scatter_tiles(rgb_c, act_idx, rcfg, bg)
             m = batch_masks_er[..., None]
-            losses["vgg"] = vgg_feature_l1(vgg, rgb * m, batch_imgs * m,
-                                           chunk=config.vgg_chunk)
+            if "vgg_gt" in aux:
+                # GT pyramids precomputed once per sequence (fit_sequence):
+                # only the pred-side VGG forward runs in the step.
+                losses["vgg"] = vgg_feature_l1_cached(
+                    vgg, rgb * m, aux["vgg_gt"], fids, chunk=config.vgg_chunk
+                )
+            else:
+                losses["vgg"] = vgg_feature_l1(vgg, rgb * m, batch_imgs * m,
+                                               chunk=config.vgg_chunk)
         if config.model_type not in ("nimble", "html"):
             k1, k2 = jax.random.split(key)
             losses["albedo"] = albedo_reg(
@@ -349,7 +357,7 @@ def fit_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
                  val_data: FitData | None = None,
                  val_params: dict | None = None, val_log_every: int = 20,
                  mesh=None, resume: dict | None = None,
-                 epoch_scan: int = 0):
+                 epoch_scan: int = 0, prefetch_compile: bool = True):
     """Run the staged optimization. Returns (params, history).
 
     out_dir enables observability (the reference's TensorBoard scalars +
@@ -385,6 +393,17 @@ def fit_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
     only semantic difference: plateau-schedule comparisons run in f32 on
     device instead of host f64 (decisions agree except within ~1e-7 rel of
     the threshold).
+
+    prefetch_compile: AOT-compile upcoming stage programs (the fused epoch
+    scan and the per-step train program per stage-flag combo) in ONE
+    background thread, in first-use order, while earlier stages train. On
+    the axon tunnel, loading each big stage executable costs ~60 s even
+    with a warm compile cache (deserializing ~124 MB of TPU codegen); the
+    round-3 protocol spent ~175 s of its 539 s warm wall on such loads,
+    all of it overlappable with stage-1/2 compute. The thread only traces
+    + compiles (no device execution); the epoch loop blocks on a program's
+    completion event before first use and falls back to the plain jit call
+    if its compile failed.
     """
     from harp_tpu.fit.optimizer import build_optimizers, PlateauState, plateau_update
 
@@ -421,6 +440,21 @@ def fit_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
         # Device-side permutation gather with frame-sharded output: the
         # epoch loop never pulls image data to the host.
         gather_batch = jax.jit(lambda a, f: a[f], out_shardings=fsh)
+
+    if (vgg is not None and config.vgg_cache_gt
+            and data.num_frames <= config.vgg_cache_max_frames):
+        # One-time GT-side VGG pyramid per frame (bf16): the step's vgg
+        # loss becomes pred-forward + gather instead of two forwards (plus
+        # the checkpoint's GT recompute in the backward).
+        from harp_tpu.losses.perceptual import precompute_slices
+
+        masked = data.images * data.masks_eroded[..., None]
+        gt_slices = jax.jit(
+            lambda im: precompute_slices(vgg, im, chunk=config.vgg_chunk)
+        )(masked)
+        if fsh is not None:
+            gt_slices = tuple(jax.device_put(s, fsh) for s in gt_slices)
+        aux = dict(aux, vgg_gt=gt_slices)
 
     txs, opt_states, _ = build_optimizers(params, config)
     train_step = make_train_step(assets, config, rcfg, vgg, txs, extras)
@@ -488,22 +522,97 @@ def fit_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
             return True
         return False
 
+    def _segment_len(e: int) -> int:
+        """E the loop will use at epoch e (the fused-segment eligibility
+        rule — shared by the loop and the prefetch planner below)."""
+        if scan_fn is None or e + epoch_scan > config.total_epoch:
+            return 1
+        flags = stage_flags(e, config)
+        ok = all(
+            stage_flags(e + i, config) == flags for i in range(epoch_scan)
+        ) and not any(_is_action_epoch(e + i) for i in range(epoch_scan - 1))
+        return epoch_scan if ok else 1
+
+    # --- background AOT compile of upcoming stage programs (see docstring).
+    _programs: dict = {}
+    _events: dict = {}
+    if prefetch_compile:
+        import threading
+
+        plan = []
+        e_sim = start_epoch
+        while e_sim < config.total_epoch:
+            E_sim = _segment_len(e_sim)
+            k = ("scan" if E_sim > 1 else "step", stage_flags(e_sim, config))
+            if k not in _events:
+                _events[k] = threading.Event()
+                plan.append(k)
+            e_sim += E_sim
+
+        def _abs(x):
+            x = x if hasattr(x, "shape") else jnp.asarray(x)
+            return jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                        sharding=getattr(x, "sharding", None))
+
+        # Shape snapshots taken BEFORE any donation invalidates the buffers.
+        p_abs = jax.tree.map(_abs, params)
+        s_abs = jax.tree.map(_abs, opt_states)
+        a_abs = jax.tree.map(_abs, aux)
+        rv_abs = _abs(ref_verts)
+        f32s = jax.ShapeDtypeStruct((), jnp.float32)
+        i32s = jax.ShapeDtypeStruct((), jnp.int32)
+        key_abs = jax.ShapeDtypeStruct((2,), jnp.uint32)
+        def _batch_abs(a):
+            # Shape of one gathered minibatch (a[fids]); under a mesh the
+            # gather is jitted with out_shardings=fsh, so match it.
+            return jax.ShapeDtypeStruct((bs,) + a.shape[1:], a.dtype,
+                                        sharding=fsh)
+
+        img_abs = _batch_abs(data.images)
+        msk_abs = _batch_abs(data.masks)
+        mer_abs = _batch_abs(data.masks_eroded)
+        fids_abs = jax.ShapeDtypeStruct((bs,), jnp.int32)
+        fids_es_abs = jax.ShapeDtypeStruct((epoch_scan, steps, bs), jnp.int32)
+        keys_es_abs = jax.ShapeDtypeStruct((epoch_scan, steps, 2), jnp.uint32)
+
+        def _compile_plan():
+            for kind, (c_on, a_on) in plan:
+                try:
+                    if kind == "scan":
+                        low = scan_fn.lower(
+                            p_abs, s_abs, a_abs, fids_es_abs, keys_es_abs,
+                            rv_abs, (f32s, i32s, f32s),
+                            coarse_on=c_on, app_on=a_on,
+                        )
+                    else:
+                        low = train_step.lower(
+                            p_abs, s_abs, a_abs, fids_abs, img_abs, msk_abs,
+                            mer_abs, rv_abs, key_abs, f32s,
+                            coarse_on=c_on, app_on=a_on,
+                        )
+                    _programs[(kind, (c_on, a_on))] = low.compile()
+                except Exception:  # fall back to the jit path for this combo
+                    _programs[(kind, (c_on, a_on))] = None
+                finally:
+                    _events[(kind, (c_on, a_on))].set()
+
+        threading.Thread(target=_compile_plan, daemon=True).start()
+
+    def _program(kind, flags):
+        """The AOT-compiled program for (kind, stage flags), or None."""
+        ev = _events.get((kind, flags))
+        if ev is None:
+            return None
+        ev.wait()
+        return _programs.get((kind, flags))
+
     epoch = start_epoch
     while epoch < config.total_epoch:
         coarse_on, app_on = stage_flags(epoch, config)
         # Fuse a fixed-length segment when the next epoch_scan epochs share
         # the stage and contain no mid-segment host actions (fixed length →
         # exactly one scan compile per stage).
-        E = 1
-        if scan_fn is not None and epoch + epoch_scan <= config.total_epoch:
-            ok = all(
-                stage_flags(epoch + i, config) == (coarse_on, app_on)
-                for i in range(epoch_scan)
-            ) and not any(
-                _is_action_epoch(epoch + i) for i in range(epoch_scan - 1)
-            )
-            if ok:
-                E = epoch_scan
+        E = _segment_len(epoch)
 
         if E > 1:
             fids_es = jnp.asarray(np.stack([
@@ -522,10 +631,17 @@ def fit_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
             plateau3 = (jnp.asarray(plateau.best, jnp.float32),
                         jnp.asarray(plateau.bad_epochs, jnp.int32),
                         jnp.asarray(plateau.scale, jnp.float32))
-            params, opt_states, plateau3, totals, scales, breakdown = scan_fn(
-                params, opt_states, aux, fids_es, keys_es, ref_verts,
-                plateau3, coarse_on=coarse_on, app_on=app_on,
-            )
+            comp = _program("scan", (coarse_on, app_on))
+            if comp is not None:
+                params, opt_states, plateau3, totals, scales, breakdown = comp(
+                    params, opt_states, aux, fids_es, keys_es, ref_verts,
+                    plateau3,
+                )
+            else:
+                params, opt_states, plateau3, totals, scales, breakdown = scan_fn(
+                    params, opt_states, aux, fids_es, keys_es, ref_verts,
+                    plateau3, coarse_on=coarse_on, app_on=app_on,
+                )
             term_keys = list(breakdown)
             host = np.asarray(jnp.concatenate(
                 [totals, scales, plateau3[0][None], plateau3[1].astype(jnp.float32)[None],
@@ -553,17 +669,23 @@ def fit_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
             perm = rng.permutation(n)
             total_acc = None
             term_sums: dict = {}
+            comp = _program("step", (coarse_on, app_on))
             for s in range(steps):
-                fids = jnp.asarray(perm[s * bs : (s + 1) * bs])
+                fids = jnp.asarray(perm[s * bs : (s + 1) * bs], jnp.int32)
                 key, sub = jax.random.split(key)
-                params, opt_states, total, breakdown = train_step(
+                step_args = (
                     params, opt_states, aux, fids,
                     gather_batch(data.images, fids),
                     gather_batch(data.masks, fids),
                     gather_batch(data.masks_eroded, fids),
                     ref_verts, sub, jnp.asarray(plateau.scale, jnp.float32),
-                    coarse_on=coarse_on, app_on=app_on,
                 )
+                if comp is not None:
+                    params, opt_states, total, breakdown = comp(*step_args)
+                else:
+                    params, opt_states, total, breakdown = train_step(
+                        *step_args, coarse_on=coarse_on, app_on=app_on,
+                    )
                 # Accumulate ON DEVICE: a host sync per step costs ~25 ms on
                 # the tunnel once a Mosaic kernel has run; one sync per epoch.
                 total_acc = total if total_acc is None else total_acc + total

@@ -118,6 +118,61 @@ def _feature_count_per_frame(vgg: Vgg16Features, h: int, wdt: int) -> int:
     return n
 
 
+def precompute_slices(vgg: Vgg16Features, images: jnp.ndarray,
+                      chunk: int | None = 6,
+                      dtype=jnp.bfloat16) -> tuple:
+    """Per-frame GT feature pyramids for the whole sequence, computed once.
+
+    The GT side of the perceptual loss (reference model/vgg.py:40-55 — the
+    masked ground-truth frame) is a constant per frame, yet the reference
+    recomputes its VGG forward every step. Returns a tuple of (N, h, w, c)
+    arrays (one per pyramid slice, incl. the raw image slice) stored in
+    `dtype` (bf16 halves the HBM cost: ~49 MB/frame at 448² vs 99 MB f32).
+    `images` must already be masked exactly as the loss masks them.
+    Chunked over frame groups so the precompute never holds more than one
+    group's f32 pyramid live."""
+    N = images.shape[0]
+    if not chunk or chunk >= N:
+        return tuple(s.astype(dtype) for s in vgg.slices(images))
+    c = max(d for d in range(1, int(chunk) + 1) if N % d == 0)
+    grouped = images.reshape((N // c, c) + images.shape[1:])
+    outs = jax.lax.map(
+        lambda x: tuple(s.astype(dtype) for s in vgg.slices(x)), grouped
+    )
+    return tuple(o.reshape((N,) + o.shape[2:]) for o in outs)
+
+
+def vgg_feature_l1_cached(vgg: Vgg16Features, pred: jnp.ndarray,
+                          gt_slices: tuple, fids: jnp.ndarray,
+                          chunk: int | None = None) -> jnp.ndarray:
+    """vgg_feature_l1 against precomputed GT pyramids (precompute_slices).
+
+    Only the pred-side VGG forward runs in the step; the GT side is a
+    per-slice gather `gt[fids]`. With the default bf16 cache the loss
+    differs from the recomputed-GT value only by the bf16 rounding of the
+    GT features (~1e-3 relative — pinned by tests/test_perceptual.py);
+    gradients w.r.t. pred take the sign of (pred_feat - gt_feat), so they
+    match wherever the difference exceeds that rounding."""
+    B = pred.shape[0]
+    total_n = _feature_count_per_frame(vgg, pred.shape[1], pred.shape[2]) * B
+
+    def absum(pred_c, fids_c):
+        fp = vgg.slices(pred_c)
+        total = 0.0
+        for w, a, g in zip(vgg.layers_weights, fp, gt_slices):
+            total = total + w * jnp.abs(a - g[fids_c].astype(a.dtype)).sum()
+        return total
+
+    if not chunk or chunk >= B:
+        return absum(pred, fids) / total_n
+    c = max(d for d in range(1, int(chunk) + 1) if B % d == 0)
+    pr = pred.reshape((B // c, c) + pred.shape[1:])
+    fr = fids.reshape(B // c, c)
+    body = jax.checkpoint(lambda pt: absum(pt[0], pt[1]))
+    sums = jax.lax.map(body, (pr, fr))
+    return sums.sum() / total_n
+
+
 def vgg_feature_l1(vgg: Vgg16Features, pred: jnp.ndarray, true: jnp.ndarray,
                    chunk: int | None = None) -> jnp.ndarray:
     """L1 over the weighted concatenated feature vector (model/vgg.py:40-55 +

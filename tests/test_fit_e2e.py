@@ -174,3 +174,41 @@ def test_epoch_scan_matches_python_loop():
             atol=6 * 2 * lr + 2e-6,  # Adam sign-flip bound: steps * lr
             err_msg=f"param {k} diverged under epoch_scan",
         )
+
+
+def test_prefetch_compile_matches_jit_path():
+    """prefetch_compile=True (background-thread AOT programs invoked
+    directly) must reproduce the plain jit dispatch path exactly — same
+    lowering, same executable semantics, both the fused-scan segments and
+    the per-step fallback epochs."""
+    import jax
+
+    config = HarpConfig(
+        img_size=64, focal_length=285.0, texture_size=64, self_shadow=False,
+        total_epoch=5, training_stage=(2, 2, 1), batch_size=2, w_vgg=0.0,
+    )
+    images, masks, masks_er, gt, init = make_synthetic_sequence(
+        ASSETS, config, RCFG, n_frames=4, seed=7, perturb=0.2
+    )
+    data = FitData(images=images, masks=masks, masks_eroded=masks_er)
+    params, aux = init_params(init, ASSETS, config)
+    params_host = jax.tree.map(np.asarray, params)
+
+    # epoch_scan=2 with a 1-epoch stage 3 exercises BOTH program kinds.
+    p_jit, h_jit = fit_sequence(
+        config, ASSETS, data, jax.tree.map(jnp.asarray, params_host),
+        dict(aux), rcfg=RCFG, seed=0, epoch_scan=2, prefetch_compile=False,
+    )
+    p_pre, h_pre = fit_sequence(
+        config, ASSETS, data, jax.tree.map(jnp.asarray, params_host),
+        dict(aux), rcfg=RCFG, seed=0, epoch_scan=2, prefetch_compile=True,
+    )
+    assert len(h_jit) == len(h_pre) == 5
+    for a, b in zip(h_jit, h_pre):
+        np.testing.assert_allclose(a["loss"], b["loss"], rtol=1e-6,
+                                   err_msg=f"epoch {a['epoch']}")
+    for k in p_jit:
+        np.testing.assert_allclose(
+            np.asarray(p_pre[k]), np.asarray(p_jit[k]), rtol=1e-6, atol=1e-7,
+            err_msg=f"param {k} diverged under prefetch_compile",
+        )

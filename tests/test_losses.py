@@ -80,3 +80,39 @@ def test_vgg_features_shapes_and_loss():
     # Differentiable.
     g = jax.grad(lambda im: vgg_feature_l1(vgg, im, x))(x * 0.3)
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_vgg_cached_gt_matches_recomputed():
+    """The GT-feature cache (precompute_slices + vgg_feature_l1_cached) must
+    reproduce the recomputed-GT loss: exactly in f32, within bf16 rounding of
+    the GT features otherwise; gradients w.r.t. pred agree too."""
+    from harp_tpu.losses import vgg_feature_l1_cached, precompute_slices
+
+    vgg = Vgg16Features.create(seed=0)
+    rng = np.random.RandomState(1)
+    seq = jnp.asarray(rng.rand(6, 32, 32, 3).astype(np.float32))
+    pred = jnp.asarray(rng.rand(4, 32, 32, 3).astype(np.float32))
+    fids = jnp.asarray([5, 0, 3, 3])  # repeated fid: gather must be general
+
+    direct = vgg_feature_l1(vgg, pred, seq[fids], chunk=2)
+
+    gt32 = precompute_slices(vgg, seq, chunk=4, dtype=jnp.float32)
+    assert all(s.shape[0] == 6 for s in gt32)
+    cached32 = vgg_feature_l1_cached(vgg, pred, gt32, fids, chunk=2)
+    np.testing.assert_allclose(cached32, direct, rtol=1e-6)
+
+    gt16 = precompute_slices(vgg, seq, chunk=4)  # bf16 default
+    assert gt16[1].dtype == jnp.bfloat16
+    cached16 = vgg_feature_l1_cached(vgg, pred, gt16, fids, chunk=2)
+    np.testing.assert_allclose(cached16, direct, rtol=5e-3)
+
+    g_direct = jax.grad(lambda p: vgg_feature_l1(vgg, p, seq[fids], chunk=2))(pred)
+    g_cached = jax.grad(
+        lambda p: vgg_feature_l1_cached(vgg, p, gt32, fids, chunk=2)
+    )(pred)
+    np.testing.assert_allclose(g_cached, g_direct, rtol=1e-5, atol=1e-7)
+
+    # Unchunked path parity as well (chunk=None; rtol covers the f32
+    # summation-order difference vs the chunked direct value).
+    cached_nc = vgg_feature_l1_cached(vgg, pred, gt32, fids)
+    np.testing.assert_allclose(cached_nc, direct, rtol=1e-5)
