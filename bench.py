@@ -46,7 +46,8 @@ def measure(B: int, use_arm: bool = False, use_vgg: bool = False) -> float:
     if use_vgg:
         from harp_tpu.losses.perceptual import Vgg16Features, precompute_slices
 
-        vgg = Vgg16Features.create(weights_path=config.vgg_weights or None)
+        vgg = Vgg16Features.create(weights_path=config.vgg_weights or None,
+                                   compute_dtype=config.vgg_compute_dtype)
         # GT-side pyramids cached once, like fit_sequence does — the bench
         # measures the step the protocol actually runs.
         masked = images * masks_er[..., None]

@@ -107,6 +107,12 @@ class HarpConfig:
     # accumulated. Chunking is numerically exact (sum over frames).
     # 0 disables chunking.
     vgg_chunk: int = 6
+    # Dtype the VGG conv pyramid runs in during TRAINING (the eval-side
+    # perceptual metric always runs f32). bf16 doubles MXU conv throughput
+    # and halves activation HBM; loss reductions still accumulate in f32
+    # (losses/perceptual._feature_abs_sum). Set "float32" for bit-level
+    # reference-semantics training (the reference's torch VGG is f32).
+    vgg_compute_dtype: str = "bfloat16"
     # Cache the GT-side VGG feature pyramids once per sequence (bf16) so the
     # train step runs only the pred-side VGG forward: the GT frame is a
     # constant per fid, yet the reference recomputes its network forward

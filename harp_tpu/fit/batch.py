@@ -98,7 +98,7 @@ def fit_sequences_batch(config: HarpConfig, assets: AvatarAssets,
 
     rcfg = rcfg or config.raster_config()
     if vgg is None and config.w_vgg > 0:
-        vgg = Vgg16Features.create()
+        vgg = Vgg16Features.create(compute_dtype=config.vgg_compute_dtype)
 
     S = data.num_sequences
     n = data.num_frames

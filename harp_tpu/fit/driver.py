@@ -409,7 +409,8 @@ def fit_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
 
     rcfg = rcfg or config.raster_config()
     if vgg is None and config.w_vgg > 0:
-        vgg = Vgg16Features.create(weights_path=config.vgg_weights or None)
+        vgg = Vgg16Features.create(weights_path=config.vgg_weights or None,
+                                   compute_dtype=config.vgg_compute_dtype)
 
     gather_batch = lambda a, f: a[f]
     fsh = None

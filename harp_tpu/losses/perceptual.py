@@ -61,24 +61,34 @@ def load_vgg16_npz(path: str):
 
 @dataclasses.dataclass(frozen=True)
 class Vgg16Features:
-    """Feature-pyramid extractor; `params` is a tuple of (w, b) numpy pairs."""
+    """Feature-pyramid extractor; `params` is a tuple of (w, b) numpy pairs.
+
+    compute_dtype: dtype the conv pyramid runs in. "bfloat16" doubles MXU
+    throughput and halves activation HBM vs f32 (the convs are pure matmul
+    work; the MXU accumulates in f32 either way). Loss reductions over the
+    features always accumulate in f32 regardless (see _feature_abs_sum).
+    The raw-image pyramid slice keeps the input dtype."""
 
     params: tuple
     layers_weights: tuple = (1.0, 1 / 16, 1 / 8, 1 / 4, 1.0)
     source: str = "random"
+    compute_dtype: str = "float32"
 
     @classmethod
     def create(cls, weights_path: str | None = None, seed: int = 0,
-               layers_weights=(1.0, 1 / 16, 1 / 8, 1 / 4, 1.0)):
+               layers_weights=(1.0, 1 / 16, 1 / 8, 1 / 4, 1.0),
+               compute_dtype: str = "float32"):
         if weights_path:
             return cls(tuple(load_vgg16_npz(weights_path)),
-                       tuple(layers_weights), "pretrained")
-        return cls(tuple(_init_weights(seed)), tuple(layers_weights), "random")
+                       tuple(layers_weights), "pretrained", compute_dtype)
+        return cls(tuple(_init_weights(seed)), tuple(layers_weights),
+                   "random", compute_dtype)
 
     def slices(self, x: jnp.ndarray) -> list[jnp.ndarray]:
         """x: (B, H, W, 3) in [0,1] -> [x, relu1_2, relu2_2, relu3_3, relu4_3]."""
+        dt = jnp.dtype(self.compute_dtype)
         feats = [x]
-        h = x
+        h = x.astype(dt)
         li = 0
         for si, n_convs in enumerate(SLICE_CONVS):
             if si > 0:
@@ -89,9 +99,9 @@ class Vgg16Features:
                 w, b = self.params[li]
                 li += 1
                 h = jax.lax.conv_general_dilated(
-                    h, jnp.asarray(w), (1, 1), "SAME",
+                    h, jnp.asarray(w, dt), (1, 1), "SAME",
                     dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                ) + jnp.asarray(b)
+                ) + jnp.asarray(b, dt)
                 h = jax.nn.relu(h)
             feats.append(h)
         return feats
@@ -104,7 +114,10 @@ def _feature_abs_sum(vgg: Vgg16Features, pred: jnp.ndarray, true: jnp.ndarray):
     ft = vgg.slices(true)
     total_abs = 0.0
     for w, a, b in zip(vgg.layers_weights, fp, ft):
-        total_abs = total_abs + w * jnp.abs(a - b).sum()
+        # f32 accumulation: a bf16 sum over millions of feature elements
+        # would lose ~3 decimal digits (XLA fuses the cast into the
+        # reduction, so this costs nothing).
+        total_abs = total_abs + w * jnp.abs(a - b).sum(dtype=jnp.float32)
     return total_abs
 
 
@@ -160,7 +173,9 @@ def vgg_feature_l1_cached(vgg: Vgg16Features, pred: jnp.ndarray,
         fp = vgg.slices(pred_c)
         total = 0.0
         for w, a, g in zip(vgg.layers_weights, fp, gt_slices):
-            total = total + w * jnp.abs(a - g[fids_c].astype(a.dtype)).sum()
+            total = total + w * jnp.abs(
+                a - g[fids_c].astype(a.dtype)
+            ).sum(dtype=jnp.float32)
         return total
 
     if not chunk or chunk >= B:

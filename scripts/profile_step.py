@@ -32,7 +32,8 @@ def run_and_trace(tmpdir):
     vgg = None
     if os.environ.get("BENCH_VGG", "0") == "1":
         from harp_tpu.losses.perceptual import Vgg16Features
-        vgg = Vgg16Features.create(weights_path=config.vgg_weights or None)
+        vgg = Vgg16Features.create(weights_path=config.vgg_weights or None,
+                                   compute_dtype=config.vgg_compute_dtype)
     train_step = make_train_step(assets, config, rcfg, vgg, txs)
     ref_verts, _ = pipeline.mesh_forward(params, jnp.asarray([0]), assets, config)
     fids = jnp.arange(B)

@@ -116,3 +116,40 @@ def test_vgg_cached_gt_matches_recomputed():
     # summation-order difference vs the chunked direct value).
     cached_nc = vgg_feature_l1_cached(vgg, pred, gt32, fids)
     np.testing.assert_allclose(cached_nc, direct, rtol=1e-5)
+
+
+def test_vgg_bf16_compute_matches_f32():
+    """compute_dtype='bfloat16' (the training default, config.vgg_compute_dtype)
+    must track the f32 pyramid: loss within bf16 feature rounding, gradient
+    direction preserved. The reductions themselves accumulate in f32 either
+    way (perceptual._feature_abs_sum)."""
+    v32 = Vgg16Features.create(seed=0)
+    v16 = Vgg16Features.create(seed=0, compute_dtype="bfloat16")
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.rand(2, 32, 32, 3).astype(np.float32))
+    y = jnp.asarray(rng.rand(2, 32, 32, 3).astype(np.float32))
+
+    f32 = v32.slices(x)
+    f16 = v16.slices(x)
+    assert f16[0].dtype == jnp.float32  # raw-image slice keeps input dtype
+    assert all(f.dtype == jnp.bfloat16 for f in f16[1:])
+
+    l32 = float(vgg_feature_l1(v32, x, y))
+    l16 = float(vgg_feature_l1(v16, x, y))
+    assert abs(l16 - l32) / l32 < 2e-2
+
+    g32 = np.asarray(jax.grad(lambda im: vgg_feature_l1(v32, im, y))(x)).ravel()
+    g16 = np.asarray(
+        jax.grad(lambda im: vgg_feature_l1(v16, im, y))(x)
+    ).ravel()
+    cos = g32 @ g16 / (np.linalg.norm(g32) * np.linalg.norm(g16) + 1e-12)
+    assert cos > 0.98
+
+    # Cached-GT path composes with bf16 compute (gt slices come out bf16
+    # directly — no extra cast).
+    from harp_tpu.losses import vgg_feature_l1_cached, precompute_slices
+
+    gt = precompute_slices(v16, y, chunk=2)
+    assert gt[1].dtype == jnp.bfloat16
+    cached = float(vgg_feature_l1_cached(v16, x, gt, jnp.asarray([0, 1])))
+    assert abs(cached - l32) / l32 < 2e-2
