@@ -147,8 +147,13 @@ class HarpConfig:
         return RasterConfig(**kw)
 
     def to_yaml(self, path: str) -> None:
+        # Tuples must dump as plain YAML lists: yaml.dump would tag them
+        # !!python/tuple, which from_yaml's safe_load (correctly) refuses —
+        # a dumped config.yaml would be unreadable by its own loader.
+        d = {k: list(v) if isinstance(v, tuple) else v
+             for k, v in dataclasses.asdict(self).items()}
         with open(path, "w") as f:
-            yaml.dump(dataclasses.asdict(self), f)
+            yaml.dump(d, f)
 
     @classmethod
     def from_yaml(cls, path: str) -> "HarpConfig":

@@ -129,3 +129,18 @@ def test_known_appearance_transfer(tmp_path):
     np.testing.assert_array_equal(np.asarray(params_b["texture"]), tex_before)
     save_result(params_b, str(tmp_path), test=True)
     assert os.path.exists(tmp_path / "saved_params_test.pkl")
+
+
+def test_config_yaml_roundtrip(tmp_path):
+    """to_yaml must emit plain YAML lists for tuple fields: yaml.dump's
+    !!python/tuple tag would make the dumped config.yaml unreadable by
+    from_yaml's safe_load (found round 3: every dumped config was
+    unloadable by its own loader)."""
+    from harp_tpu.config import HarpConfig
+
+    c = HarpConfig(training_stage=(50, 60, 70), batch_size=7,
+                   background_color=(0.0, 0.5, 1.0))
+    p = str(tmp_path / "config.yaml")
+    c.to_yaml(p)
+    c2 = HarpConfig.from_yaml(p)
+    assert c2 == c
