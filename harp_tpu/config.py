@@ -113,6 +113,11 @@ class HarpConfig:
     # (losses/perceptual._feature_abs_sum). Set "float32" for bit-level
     # reference-semantics training (the reference's torch VGG is f32).
     vgg_compute_dtype: str = "bfloat16"
+    # jax.checkpoint the per-chunk VGG forward (recompute-in-backward).
+    # True bounds HBM (the reason vgg_chunk exists); False keeps each
+    # chunk's bf16 activations (~25 MB/frame) and skips the recompute —
+    # measure memory_analysis() headroom before flipping at a new scale.
+    vgg_remat: bool = True
     # Cache the GT-side VGG feature pyramids once per sequence (bf16) so the
     # train step runs only the pred-side VGG forward: the GT frame is a
     # constant per fid, yet the reference recomputes its network forward

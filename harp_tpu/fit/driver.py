@@ -159,11 +159,13 @@ def compute_losses(params, aux, fids, batch_imgs, batch_masks, batch_masks_er,
                 # GT pyramids precomputed once per sequence (fit_sequence):
                 # only the pred-side VGG forward runs in the step.
                 losses["vgg"] = vgg_feature_l1_cached(
-                    vgg, rgb * m, aux["vgg_gt"], fids, chunk=config.vgg_chunk
+                    vgg, rgb * m, aux["vgg_gt"], fids, chunk=config.vgg_chunk,
+                    remat=config.vgg_remat,
                 )
             else:
                 losses["vgg"] = vgg_feature_l1(vgg, rgb * m, batch_imgs * m,
-                                               chunk=config.vgg_chunk)
+                                               chunk=config.vgg_chunk,
+                                               remat=config.vgg_remat)
         if config.model_type not in ("nimble", "html"):
             k1, k2 = jax.random.split(key)
             losses["albedo"] = albedo_reg(

@@ -157,7 +157,8 @@ def precompute_slices(vgg: Vgg16Features, images: jnp.ndarray,
 
 def vgg_feature_l1_cached(vgg: Vgg16Features, pred: jnp.ndarray,
                           gt_slices: tuple, fids: jnp.ndarray,
-                          chunk: int | None = None) -> jnp.ndarray:
+                          chunk: int | None = None,
+                          remat: bool = True) -> jnp.ndarray:
     """vgg_feature_l1 against precomputed GT pyramids (precompute_slices).
 
     Only the pred-side VGG forward runs in the step; the GT side is a
@@ -183,13 +184,19 @@ def vgg_feature_l1_cached(vgg: Vgg16Features, pred: jnp.ndarray,
     c = max(d for d in range(1, int(chunk) + 1) if B % d == 0)
     pr = pred.reshape((B // c, c) + pred.shape[1:])
     fr = fids.reshape(B // c, c)
-    body = jax.checkpoint(lambda pt: absum(pt[0], pt[1]))
+    # remat=False keeps each chunk's activations for the backward instead
+    # of recomputing the pred-side forward (the bf16 pyramid is small
+    # enough: ~25 MB/frame of residuals vs a whole extra VGG forward).
+    body = lambda pt: absum(pt[0], pt[1])
+    if remat:
+        body = jax.checkpoint(body)
     sums = jax.lax.map(body, (pr, fr))
     return sums.sum() / total_n
 
 
 def vgg_feature_l1(vgg: Vgg16Features, pred: jnp.ndarray, true: jnp.ndarray,
-                   chunk: int | None = None) -> jnp.ndarray:
+                   chunk: int | None = None,
+                   remat: bool = True) -> jnp.ndarray:
     """L1 over the weighted concatenated feature vector (model/vgg.py:40-55 +
     torch.nn.L1Loss mean semantics), computed slice-wise without
     materializing the concatenation.
@@ -210,6 +217,8 @@ def vgg_feature_l1(vgg: Vgg16Features, pred: jnp.ndarray, true: jnp.ndarray,
     n = B // c
     pr = pred.reshape((n, c) + pred.shape[1:])
     tr = true.reshape((n, c) + true.shape[1:])
-    body = jax.checkpoint(lambda pt: _feature_abs_sum(vgg, pt[0], pt[1]))
+    body = lambda pt: _feature_abs_sum(vgg, pt[0], pt[1])
+    if remat:
+        body = jax.checkpoint(body)
     sums = jax.lax.map(body, (pr, tr))
     return sums.sum() / total_n

@@ -153,3 +153,20 @@ def test_vgg_bf16_compute_matches_f32():
     assert gt[1].dtype == jnp.bfloat16
     cached = float(vgg_feature_l1_cached(v16, x, gt, jnp.asarray([0, 1])))
     assert abs(cached - l32) / l32 < 2e-2
+
+
+def test_vgg_remat_off_matches_on():
+    """remat=False (keep chunk activations) must be numerically identical to
+    the jax.checkpoint path — value and gradient (same graph, no recompute)."""
+    from harp_tpu.losses import vgg_feature_l1
+
+    vgg = Vgg16Features.create(seed=0)
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.rand(4, 16, 16, 3).astype(np.float32))
+    y = jnp.asarray(rng.rand(4, 16, 16, 3).astype(np.float32))
+    a = vgg_feature_l1(vgg, x, y, chunk=2, remat=True)
+    b = vgg_feature_l1(vgg, x, y, chunk=2, remat=False)
+    np.testing.assert_allclose(a, b, rtol=1e-7)
+    ga = jax.grad(lambda p: vgg_feature_l1(vgg, p, y, chunk=2, remat=True))(x)
+    gb = jax.grad(lambda p: vgg_feature_l1(vgg, p, y, chunk=2, remat=False))(x)
+    np.testing.assert_allclose(ga, gb, rtol=1e-6, atol=1e-8)
