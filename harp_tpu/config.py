@@ -53,6 +53,10 @@ class HarpConfig:
     # sorts than 4; truncation is loud via bin_overflow if a scene ever
     # needs more.
     raster_span_tiles: int = 3
+    # Soft-id list depth K. 8 is gradient-exact to 3.3e-5 vs an all-faces
+    # brute force (tests/test_grad_fidelity.py); the reference uses
+    # K=50 (renderer_helper.py:47) — reference_exact() restores that.
+    raster_faces_per_pixel: int = 8
     shadow_bias: float = 0.008
     # Light-view depth-map resolution relative to the image (1.0 = the
     # reference's full-res shadow pass). Default 0.5 quarters the light
@@ -71,6 +75,13 @@ class HarpConfig:
     # buys nothing (scripts/probe_pcf_band.py: 245-265 of 280 tiles at
     # protocol scale). Useful only for sharper/biased-out configs.
     pcf_grad_tiles: int = 0
+    # Backend for the PCF light-map gradient scatter: "auto" = the Mosaic
+    # one-hot-matmul kernel (render/pallas/pcf_grad_kernel.py) on TPU and
+    # the XLA row-scatter elsewhere; "pallas" / "xla" force;
+    # "pallas_interpret" runs the kernel in the Pallas interpreter (CPU
+    # parity tests). Identical gradients either way (custom-vjp over the
+    # same math; pinned by tests/test_shadow.py).
+    pcf_backend: str = "auto"
     shadow_light_radius: float = 1.5
 
     # Optimization (reference driver defaults)
@@ -111,7 +122,11 @@ class HarpConfig:
     # perceptual metric always runs f32). bf16 doubles MXU conv throughput
     # and halves activation HBM; loss reductions still accumulate in f32
     # (losses/perceptual._feature_abs_sum). Set "float32" for bit-level
-    # reference-semantics training (the reference's torch VGG is f32).
+    # reference-semantics training (the reference's torch VGG is f32) —
+    # the GT-pyramid cache dtype follows this setting too
+    # (precompute_slices defaults its store dtype to vgg.compute_dtype),
+    # so f32 compute also caches f32 GT features. See also
+    # HarpConfig.reference_exact().
     vgg_compute_dtype: str = "bfloat16"
     # jax.checkpoint the per-chunk VGG forward (recompute-in-backward).
     # True bounds HBM (the reason vgg_chunk exists); False keeps each
@@ -147,9 +162,46 @@ class HarpConfig:
             active_fraction=self.raster_active_fraction,
             cap=self.raster_cap,
             span_tiles=self.raster_span_tiles,
+            faces_per_pixel=self.raster_faces_per_pixel,
         )
         kw.update(overrides)
         return RasterConfig(**kw)
+
+    @classmethod
+    def reference_exact(cls, **overrides) -> "HarpConfig":
+        """One-flag reproduction of the reference's numeric semantics.
+
+        The fast-path defaults deviate from the reference in five measured,
+        individually-toggleable ways; this constructor flips them all back
+        in one place (each cited to the reference constant it restores):
+
+        - shadow_map_scale=1.0 — full-resolution light-view depth map
+          (renderer_helper.py renders the light pass at image size).
+        - vgg_compute_dtype="float32" + vgg_cache_gt=False — the f32 torch
+          VGG16 forward on BOTH sides, recomputed every step
+          (model/vgg.py; optimize_sequence.py:546-547).
+        - raster_faces_per_pixel=50 — the soft-id list depth
+          (renderer_helper.py:47, faces_per_pixel=50).
+        - raster_span_tiles=4 — the conservative binning span (no
+          known-small-triangle assumption).
+        - raster_active_fraction=1.0 — every tile rasterized, no
+          occupancy budget.
+
+        The tile cap stays at its probed-with-headroom default: it is an
+        exactness-preserving buffer bound (overflow is loud), not a
+        semantic deviation. Cost vs the fast path is quantified in
+        RESULTS.md (round 4 A/B table).
+        """
+        kw = dict(
+            shadow_map_scale=1.0,
+            vgg_compute_dtype="float32",
+            vgg_cache_gt=False,
+            raster_faces_per_pixel=50,
+            raster_span_tiles=4,
+            raster_active_fraction=1.0,
+        )
+        kw.update(overrides)
+        return cls(**kw)
 
     def to_yaml(self, path: str) -> None:
         # Tuples must dump as plain YAML lists: yaml.dump would tag them

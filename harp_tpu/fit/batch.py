@@ -70,15 +70,26 @@ def make_batch_train_step(assets: AvatarAssets, config: HarpConfig,
 
     @partial(jax.jit, static_argnames=("coarse_on", "app_on"), donate_argnums=(0, 1))
     def batch_step(params_S, opt_states_S, aux_S, fids_S, imgs_S, m_S, me_S,
-                   ref_verts_S, keys_S, lr_scales_S, *, coarse_on, app_on):
-        return jax.vmap(
-            lambda p, s, a, f, i, m, me, rv, k, ls: _grad_step(
+                   ref_verts_S, keys_S, lr_scales_S, vgg_params, *,
+                   coarse_on, app_on):
+        # The VGG filter bank rides in ONCE as a broadcast (in_axes=None)
+        # argument — not embedded as an executable literal (~31 MB of
+        # codegen, see fit/driver.compute_losses) and not stacked S times
+        # in HBM. Injected into each sequence's aux inside the vmap, where
+        # compute_losses picks it up.
+        def one(p, s, a, f, i, m, me, rv, k, ls, vp):
+            if vp is not None:
+                a = dict(a, vgg_params=vp)
+            return _grad_step(
                 p, s, a, f, i, m, me, rv, k, ls, assets=assets,
                 config=config, rcfg=rcfg, vgg=vgg, txs=txs, extras=None,
                 coarse_on=coarse_on, app_on=app_on,
             )
+
+        return jax.vmap(
+            one, in_axes=(0,) * 10 + (None,)
         )(params_S, opt_states_S, aux_S, fids_S, imgs_S, m_S, me_S,
-          ref_verts_S, keys_S, lr_scales_S)
+          ref_verts_S, keys_S, lr_scales_S, vgg_params)
 
     return batch_step
 
@@ -98,7 +109,13 @@ def fit_sequences_batch(config: HarpConfig, assets: AvatarAssets,
 
     rcfg = rcfg or config.raster_config()
     if vgg is None and config.w_vgg > 0:
-        vgg = Vgg16Features.create(compute_dtype=config.vgg_compute_dtype)
+        vgg = Vgg16Features.create(weights_path=config.vgg_weights or None,
+                                   compute_dtype=config.vgg_compute_dtype)
+    vgg_params = None
+    if vgg is not None:
+        vgg_params = tuple(
+            (jnp.asarray(w), jnp.asarray(b)) for (w, b) in vgg.params
+        )
 
     S = data.num_sequences
     n = data.num_frames
@@ -158,7 +175,7 @@ def fit_sequences_batch(config: HarpConfig, assets: AvatarAssets,
             )
             params_S, opt_states_S, totals, breakdown = batch_step(
                 params_S, opt_states_S, aux_S, fids_S, imgs_S, m_S, me_S,
-                ref_verts_S, keys_S, lr_scales_S,
+                ref_verts_S, keys_S, lr_scales_S, vgg_params,
                 coarse_on=coarse_on, app_on=app_on,
             )
             # Accumulate ON DEVICE: one host sync per epoch below, not per

@@ -65,6 +65,16 @@ def compute_losses(params, aux, fids, batch_imgs, batch_masks, batch_masks_er,
         gather_tiles, scatter_tiles,
     )
 
+    if vgg is not None and aux.get("vgg_params") is not None:
+        # The filter bank rides in as a traced argument (via aux), NOT as a
+        # closure: a closed-over jnp array is EMBEDDED in the lowered module
+        # and the compiled executable (~31 MB of VGG filters per program —
+        # measured in-round on the CPU backend and via
+        # scripts/probe_exec_size.py), and protocol executables load over
+        # the axon tunnel at ~0.5 MB/s. The dataclass only contributes
+        # architecture statics here.
+        vgg = dataclasses.replace(vgg, params=tuple(aux["vgg_params"]))
+
     losses = {}
     verts, joints = pipeline.mesh_forward(params, fids, assets, config)
     R, T = pipeline.camera_for_frames(params, fids, config)
@@ -272,7 +282,7 @@ def stage_flags(epoch: int, config: HarpConfig):
 
 
 def make_epoch_scan(assets: AvatarAssets, config: HarpConfig, rcfg: RasterConfig,
-                    vgg: Vgg16Features | None, txs, data: FitData,
+                    vgg: Vgg16Features | None, txs,
                     extras: dict | None = None, batch_sharding=None):
     """Multi-epoch fused training: ONE jitted lax.scan over (epochs, steps).
 
@@ -285,17 +295,34 @@ def make_epoch_scan(assets: AvatarAssets, config: HarpConfig, rcfg: RasterConfig
     carried in the scan state (same ReduceLROnPlateau decisions as
     fit/optimizer.plateau_update, computed in f32 on device).
 
-    Returned fn: run_epochs(params, opt_states, aux, fids_es (E, steps, bs),
-    keys_es (E, steps, 2), ref_verts, plateau3 (best, bad, scale), *,
-    coarse_on, app_on) -> (params, opt_states, plateau3, totals (E,),
-    breakdown dict of (E,)).
+    Returned fn: run_epochs(params, opt_states, aux, images (N,H,W,3),
+    masks (N,H,W), masks_er (N,H,W), fids_es (E, steps, bs),
+    keys_es (E, steps, 2), ref_verts, plateau3 (best, bad, scale),
+    n_active (i32 scalar), *, coarse_on, app_on) -> (params, opt_states,
+    plateau3, totals (E,), breakdown dict of (E,)).
+
+    The sequence arrays are ARGUMENTS, not closures: closed-over jnp arrays
+    get embedded in the executable (87 MB images + 2x29 MB masks at the
+    448^2/36f protocol — the round-3 "~124 MB stage executables" whose
+    57-69 s tunnel loads were the protocol's single largest stall). As
+    arguments they are zero-copy device buffers and the executable carries
+    only code.
+
+    n_active masks the tail of the segment: epochs with index >= n_active
+    still execute (a lax.scan has a static trip count) but their parameter /
+    optimizer / plateau updates are discarded by a select against the
+    previous carry, so ONE scan executable serves full segments AND stage
+    remainders (n_active < E). Without this, every remainder epoch would
+    dispatch the separate per-step program — whose ~120 MB executable load
+    over the tunnel (57-69 s) is exactly the round-3 protocol's stall tax.
+    Masked epochs run on repeated fids/keys and their outputs are garbage;
+    the host truncates history to n_active rows.
 
     batch_sharding: NamedSharding for the per-minibatch gathers inside the
     scan — with a frame-sharded sequence (fit_sequence(mesh=...)) this
     constrains images[fids] etc. to stay frame-sharded; without it GSPMD
     is free to all-gather the full sequence onto every device.
     """
-    images, msks, mers = data.images, data.masks, data.masks_eroded
     patience = jnp.asarray(config.plateau_patience, jnp.int32)
     factor = jnp.asarray(config.plateau_factor, jnp.float32)
     threshold = jnp.float32(1e-4)
@@ -306,8 +333,9 @@ def make_epoch_scan(assets: AvatarAssets, config: HarpConfig, rcfg: RasterConfig
 
     @partial(jax.jit, static_argnames=("coarse_on", "app_on"),
              donate_argnums=(0, 1))
-    def run_epochs(params, opt_states, aux, fids_es, keys_es, ref_verts,
-                   plateau3, *, coarse_on: bool, app_on: bool):
+    def run_epochs(params, opt_states, aux, images, msks, mers, fids_es,
+                   keys_es, ref_verts, plateau3, n_active, *,
+                   coarse_on: bool, app_on: bool):
         def step_body(carry, xs):
             params, opt_states, lr_scale = carry
             fids, key = xs
@@ -321,29 +349,40 @@ def make_epoch_scan(assets: AvatarAssets, config: HarpConfig, rcfg: RasterConfig
             return (params, new_states, lr_scale), (total, breakdown)
 
         def epoch_body(carry, xs):
-            params, opt_states, plateau = carry
+            params, opt_states, plateau, ei = carry
             fids_s, keys_s = xs
             best, bad, scale = plateau
-            (params, opt_states, _), (totals, breakdowns) = jax.lax.scan(
+            (p_new, s_new, _), (totals, breakdowns) = jax.lax.scan(
                 step_body, (params, opt_states, scale), (fids_s, keys_s)
             )
             epoch_loss = totals.mean()
+            pl_new = plateau
             if coarse_on:
                 # plateau_update (fit/optimizer.py) semantics on device.
                 improved = epoch_loss < best * (1.0 - threshold)
                 new_best = jnp.where(improved, epoch_loss, best)
                 new_bad = jnp.where(improved, 0, bad + 1)
                 trip = new_bad > patience
-                scale = jnp.where(trip, scale * factor, scale)
+                new_scale = jnp.where(trip, scale * factor, scale)
                 new_bad = jnp.where(trip, 0, new_bad)
-                plateau = (new_best, new_bad, scale)
-            return (params, opt_states, plateau), (
+                pl_new = (new_best, new_bad, new_scale)
+            # Remainder masking: epochs past n_active computed but discarded.
+            active = ei < n_active
+            sel = lambda new, old: jax.tree.map(
+                lambda a, b: jnp.where(active, a, b), new, old
+            )
+            params = sel(p_new, params)
+            opt_states = sel(s_new, opt_states)
+            plateau = sel(pl_new, plateau)
+            return (params, opt_states, plateau, ei + 1), (
                 epoch_loss, plateau[2],
                 jax.tree.map(lambda x: x.sum(0), breakdowns),
             )
 
-        (params, opt_states, plateau3), (totals, scales, breakdown) = jax.lax.scan(
-            epoch_body, (params, opt_states, plateau3), (fids_es, keys_es)
+        (params, opt_states, plateau3, _), (totals, scales, breakdown) = jax.lax.scan(
+            epoch_body,
+            (params, opt_states, plateau3, jnp.asarray(0, jnp.int32)),
+            (fids_es, keys_es),
         )
         return params, opt_states, plateau3, totals, scales, breakdown
 
@@ -359,7 +398,8 @@ def fit_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
                  val_data: FitData | None = None,
                  val_params: dict | None = None, val_log_every: int = 20,
                  mesh=None, resume: dict | None = None,
-                 epoch_scan: int = 0, prefetch_compile: bool = True):
+                 epoch_scan: int = 0, prefetch_compile: bool = True,
+                 prefetch_extra=None):
     """Run the staged optimization. Returns (params, history).
 
     out_dir enables observability (the reference's TensorBoard scalars +
@@ -386,15 +426,26 @@ def fit_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
     resumes at epoch+1, so stage flags line up), and the plateau lr scale
     are restored; pass the checkpoint's params through `params` as usual.
 
-    epoch_scan: >1 fuses that many epochs into one jitted lax.scan dispatch
-    (make_epoch_scan) whenever a full same-stage, action-free segment fits —
-    eliminating per-step host dispatch (tens of ms each over the axon
-    tunnel). Epochs with host-side actions (image/val logs, checkpoints,
-    callbacks) and stage remainders fall back to the per-epoch loop; the
-    segment length is FIXED so each stage compiles exactly one scan. The
-    only semantic difference: plateau-schedule comparisons run in f32 on
-    device instead of host f64 (decisions agree except within ~1e-7 rel of
-    the threshold).
+    epoch_scan: >1 runs EVERY epoch through fused epoch_scan-length
+    lax.scan dispatches (make_epoch_scan) — eliminating per-step host
+    dispatch (tens of ms each over the axon tunnel). Stage remainders run
+    the SAME scan executable with the tail masked out (n_active), so the
+    separate per-step train program is never compiled or loaded on this
+    path — in round 3 the protocol's three ~120 MB step executables, used
+    only for remainder/action epochs, cost ~60 s of tunnel load each.
+    Host-side actions (image/val logs, checkpoints) that fall due inside a
+    segment are DEFERRED to the segment's last epoch and labeled with it —
+    the logged/checkpointed state is exactly the state at that epoch; only
+    the cadence shifts by up to epoch_scan-1 epochs. A per-epoch `callback`
+    still forces the per-step loop. Semantic differences vs the loop path:
+    plateau comparisons run in f32 on device instead of host f64 (decisions
+    agree except within ~1e-7 rel of the threshold), and masked remainder
+    epochs compute-and-discard (under --debug-nans their garbage outputs
+    can false-trip the NaN checker).
+
+    prefetch_extra: optional list of callables the prefetch thread runs
+    after the stage programs compile — e.g. AOT-compiling the eval pass so
+    its executable loads during the last training stage.
 
     prefetch_compile: AOT-compile upcoming stage programs (the fused epoch
     scan and the per-step train program per stage-flag combo) in ONE
@@ -413,6 +464,12 @@ def fit_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
     if vgg is None and config.w_vgg > 0:
         vgg = Vgg16Features.create(weights_path=config.vgg_weights or None,
                                    compute_dtype=config.vgg_compute_dtype)
+    if vgg is not None:
+        # Filters flow as traced args (compute_losses picks them up from
+        # aux) so no program embeds the ~31 MB bank as literals.
+        aux = dict(aux, vgg_params=tuple(
+            (jnp.asarray(w), jnp.asarray(b)) for (w, b) in vgg.params
+        ))
 
     gather_batch = lambda a, f: a[f]
     fsh = None
@@ -444,20 +501,26 @@ def fit_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
         # epoch loop never pulls image data to the host.
         gather_batch = jax.jit(lambda a, f: a[f], out_shardings=fsh)
 
+    vgg_gt_fn = None
+    vgg_gt_masked = None
     if (vgg is not None and config.vgg_cache_gt
             and data.num_frames <= config.vgg_cache_max_frames):
-        # One-time GT-side VGG pyramid per frame (bf16): the step's vgg
-        # loss becomes pred-forward + gather instead of two forwards (plus
-        # the checkpoint's GT recompute in the backward).
+        # One-time GT-side VGG pyramid per frame: the step's vgg loss
+        # becomes pred-forward + gather instead of two forwards (plus the
+        # checkpoint's GT recompute in the backward). DEFERRED to the first
+        # app-stage dispatch (stage 1 never reads it): its ~65 MB executable
+        # then compiles/loads in the prefetch thread during stage-1 training
+        # instead of blocking the fit start (round-3 anatomy: this program
+        # alone cost ~30 s of pre-epoch-0 tunnel load).
         from harp_tpu.losses.perceptual import precompute_slices
 
-        masked = data.images * data.masks_eroded[..., None]
-        gt_slices = jax.jit(
-            lambda im: precompute_slices(vgg, im, chunk=config.vgg_chunk)
-        )(masked)
-        if fsh is not None:
-            gt_slices = tuple(jax.device_put(s, fsh) for s in gt_slices)
-        aux = dict(aux, vgg_gt=gt_slices)
+        vgg_gt_masked = data.images * data.masks_eroded[..., None]
+        vgg_gt_fn = jax.jit(
+            lambda im, vp: precompute_slices(
+                dataclasses.replace(vgg, params=tuple(vp)), im,
+                chunk=config.vgg_chunk,
+            )
+        )
 
     txs, opt_states, _ = build_optimizers(params, config)
     train_step = make_train_step(assets, config, rcfg, vgg, txs, extras)
@@ -508,33 +571,25 @@ def fit_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
 
     scan_fn = None
     if epoch_scan and epoch_scan > 1:
-        scan_fn = make_epoch_scan(assets, config, rcfg, vgg, txs, data,
+        scan_fn = make_epoch_scan(assets, config, rcfg, vgg, txs,
                                   extras, batch_sharding=fsh)
 
-    def _is_action_epoch(e):
-        """Epochs after which the python loop does host-side work."""
-        if callback is not None:
-            return True
-        if out_dir is None:
-            return False
-        if image_log_every and e % image_log_every == 0:
-            return True
-        if val_data is not None and val_log_every and e % val_log_every == 0:
-            return True
-        if checkpoint_every and e > 0 and e % checkpoint_every == 0:
-            return True
-        return False
+    # A per-epoch callback needs host control between epochs — the fused
+    # scan path cannot honor it, so fall back to the per-step loop.
+    use_scan = scan_fn is not None and callback is None
 
     def _segment_len(e: int) -> int:
-        """E the loop will use at epoch e (the fused-segment eligibility
-        rule — shared by the loop and the prefetch planner below)."""
-        if scan_fn is None or e + epoch_scan > config.total_epoch:
-            return 1
+        """Number of REAL epochs the scan dispatch at epoch e advances:
+        capped by epoch_scan, the stage boundary, and total_epoch. The scan
+        executable always runs epoch_scan epochs; lengths below that run
+        with the tail masked (n_active) — same program, no remainder
+        compile."""
         flags = stage_flags(e, config)
-        ok = all(
-            stage_flags(e + i, config) == flags for i in range(epoch_scan)
-        ) and not any(_is_action_epoch(e + i) for i in range(epoch_scan - 1))
-        return epoch_scan if ok else 1
+        L = 1
+        while (L < epoch_scan and e + L < config.total_epoch
+               and stage_flags(e + L, config) == flags):
+            L += 1
+        return L
 
     # --- background AOT compile of upcoming stage programs (see docstring).
     _programs: dict = {}
@@ -545,12 +600,18 @@ def fit_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
         plan = []
         e_sim = start_epoch
         while e_sim < config.total_epoch:
-            E_sim = _segment_len(e_sim)
-            k = ("scan" if E_sim > 1 else "step", stage_flags(e_sim, config))
+            flags = stage_flags(e_sim, config)
+            if use_scan:
+                k = ("scan", flags)
+                e_sim += _segment_len(e_sim)
+            else:
+                k = ("step", flags)
+                e_sim += 1
             if k not in _events:
                 _events[k] = threading.Event()
                 plan.append(k)
-            e_sim += E_sim
+        if vgg_gt_fn is not None and any(f[1] for _, f in plan):
+            _events["gtvgg"] = threading.Event()
 
         def _abs(x):
             x = x if hasattr(x, "shape") else jnp.asarray(x)
@@ -574,22 +635,60 @@ def fit_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
         img_abs = _batch_abs(data.images)
         msk_abs = _batch_abs(data.masks)
         mer_abs = _batch_abs(data.masks_eroded)
+        # Whole-sequence shapes for the scan path (the scan gathers
+        # minibatches on device from the full arrays).
+        seq_img_abs = _abs(data.images)
+        seq_msk_abs = _abs(data.masks)
+        seq_mer_abs = _abs(data.masks_eroded)
         fids_abs = jax.ShapeDtypeStruct((bs,), jnp.int32)
         fids_es_abs = jax.ShapeDtypeStruct((epoch_scan, steps, bs), jnp.int32)
         keys_es_abs = jax.ShapeDtypeStruct((epoch_scan, steps, 2), jnp.uint32)
 
+        gt_abs = None
+        if vgg_gt_fn is not None:
+            # Abstract shapes of the deferred GT-VGG cache: app-stage
+            # programs are lowered against aux + vgg_gt without running the
+            # precompute itself.
+            gt_shapes = jax.eval_shape(vgg_gt_fn, vgg_gt_masked,
+                                       aux["vgg_params"])
+            gt_abs = tuple(
+                jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=fsh)
+                for s in gt_shapes
+            )
+
+        def _aux_abs_for(a_on: bool):
+            if a_on and gt_abs is not None:
+                return dict(a_abs, vgg_gt=gt_abs)
+            return a_abs
+
         def _compile_plan():
             for kind, (c_on, a_on) in plan:
+                if (a_on and vgg_gt_fn is not None
+                        and "gtvgg" not in _programs):
+                    # The GT-VGG cache program compiles/loads just before
+                    # the first app-stage program, still inside this thread
+                    # (overlapping stage-1 training).
+                    try:
+                        _programs["gtvgg"] = vgg_gt_fn.lower(
+                            jax.tree.map(_abs, vgg_gt_masked),
+                            jax.tree.map(_abs, aux["vgg_params"]),
+                        ).compile()
+                    except Exception:
+                        _programs["gtvgg"] = None
+                    finally:
+                        _events["gtvgg"].set()
                 try:
+                    aux_k = _aux_abs_for(a_on)
                     if kind == "scan":
                         low = scan_fn.lower(
-                            p_abs, s_abs, a_abs, fids_es_abs, keys_es_abs,
-                            rv_abs, (f32s, i32s, f32s),
+                            p_abs, s_abs, aux_k, seq_img_abs, seq_msk_abs,
+                            seq_mer_abs, fids_es_abs, keys_es_abs,
+                            rv_abs, (f32s, i32s, f32s), i32s,
                             coarse_on=c_on, app_on=a_on,
                         )
                     else:
                         low = train_step.lower(
-                            p_abs, s_abs, a_abs, fids_abs, img_abs, msk_abs,
+                            p_abs, s_abs, aux_k, fids_abs, img_abs, msk_abs,
                             mer_abs, rv_abs, key_abs, f32s,
                             coarse_on=c_on, app_on=a_on,
                         )
@@ -598,6 +697,11 @@ def fit_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
                     _programs[(kind, (c_on, a_on))] = None
                 finally:
                     _events[(kind, (c_on, a_on))].set()
+            for fn in (prefetch_extra or []):
+                try:
+                    fn()
+                except Exception:
+                    pass
 
         threading.Thread(target=_compile_plan, daemon=True).start()
 
@@ -609,41 +713,106 @@ def fit_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
         ev.wait()
         return _programs.get((kind, flags))
 
+    def _ensure_vgg_gt():
+        """Materialize the deferred GT-VGG feature cache into aux (once,
+        right before the first app-stage dispatch). Uses the prefetch
+        thread's AOT executable when available."""
+        nonlocal aux
+        if vgg_gt_fn is None or "vgg_gt" in aux:
+            return
+        comp = None
+        ev = _events.get("gtvgg")
+        if ev is not None:
+            ev.wait()
+            comp = _programs.get("gtvgg")
+        gt_slices = (comp(vgg_gt_masked, aux["vgg_params"])
+                     if comp is not None
+                     else vgg_gt_fn(vgg_gt_masked, aux["vgg_params"]))
+        if fsh is not None:
+            gt_slices = tuple(jax.device_put(s, fsh) for s in gt_slices)
+        aux = dict(aux, vgg_gt=gt_slices)
+
+    def _run_actions(label: int, due) -> None:
+        """Host-side actions that fell due during [due) — run once with the
+        state at epoch `label` (the segment's last epoch)."""
+        if out_dir is not None and image_log_every and any(
+                e % image_log_every == 0 for e in due):
+            _log_images(params, aux, data, assets, config, rcfg, out_dir, label)
+        if (out_dir is not None and val_data is not None and val_log_every
+                and any(e % val_log_every == 0 for e in due)):
+            _log_val_images(params, val_params, val_data, assets, config,
+                            rcfg, out_dir, label, extras)
+        if out_dir is not None and checkpoint_every and any(
+                e > 0 and e % checkpoint_every == 0 for e in due):
+            from harp_tpu.utils.io import save_result, save_checkpoint
+            import os
+
+            save_result(params, out_dir, test=config.known_appearance)
+            plateau_extra = {"plateau": dataclasses.asdict(plateau),
+                             "ref_verts": np.asarray(ref_verts)}
+            if orbax_ckpt is not None:
+                # Async: device-to-host + write happen in the background,
+                # the epoch loop does not block on storage.
+                orbax_ckpt.save(label, params, opt_states, plateau.scale,
+                                extra=plateau_extra)
+            else:
+                save_checkpoint(
+                    os.path.join(out_dir, "checkpoint.pkl"), params,
+                    opt_states, label, plateau.scale, extra=plateau_extra,
+                )
+
     epoch = start_epoch
     while epoch < config.total_epoch:
         coarse_on, app_on = stage_flags(epoch, config)
-        # Fuse a fixed-length segment when the next epoch_scan epochs share
-        # the stage and contain no mid-segment host actions (fixed length →
-        # exactly one scan compile per stage).
-        E = _segment_len(epoch)
+        if app_on:
+            _ensure_vgg_gt()
 
-        if E > 1:
-            fids_es = jnp.asarray(np.stack([
+        if use_scan:
+            E = epoch_scan
+            L = _segment_len(epoch)
+            fids_np = np.stack([
                 rng.permutation(n)[: steps * bs].reshape(steps, bs)
-                for _ in range(E)
-            ]).astype(np.int32))
+                for _ in range(L)
+            ]).astype(np.int32)
+            if L < E:
+                # Remainder segment: pad with repeats of the last epoch's
+                # permutation — the masked tail computes-and-discards, and
+                # the host rng stream advances exactly L epochs (so resume
+                # replay stays aligned).
+                fids_np = np.concatenate(
+                    [fids_np, np.repeat(fids_np[-1:], E - L, 0)], 0
+                )
+            fids_es = jnp.asarray(fids_np)
 
             def _chain(c, _):
                 ks = jax.random.split(c)
                 return ks[0], ks[1]
 
             key, subs = jax.jit(
-                partial(jax.lax.scan, _chain, xs=None, length=E * steps)
+                partial(jax.lax.scan, _chain, xs=None, length=L * steps)
             )(key)
-            keys_es = subs.reshape((E, steps) + subs.shape[1:])
+            subs = subs.reshape((L, steps) + subs.shape[1:])
+            if L < E:
+                subs = jnp.concatenate(
+                    [subs, jnp.broadcast_to(subs[-1:], (E - L,) + subs.shape[1:])], 0
+                )
+            keys_es = subs
             plateau3 = (jnp.asarray(plateau.best, jnp.float32),
                         jnp.asarray(plateau.bad_epochs, jnp.int32),
                         jnp.asarray(plateau.scale, jnp.float32))
+            n_act = jnp.asarray(L, jnp.int32)
             comp = _program("scan", (coarse_on, app_on))
             if comp is not None:
                 params, opt_states, plateau3, totals, scales, breakdown = comp(
-                    params, opt_states, aux, fids_es, keys_es, ref_verts,
-                    plateau3,
+                    params, opt_states, aux, data.images, data.masks,
+                    data.masks_eroded, fids_es, keys_es, ref_verts,
+                    plateau3, n_act,
                 )
             else:
                 params, opt_states, plateau3, totals, scales, breakdown = scan_fn(
-                    params, opt_states, aux, fids_es, keys_es, ref_verts,
-                    plateau3, coarse_on=coarse_on, app_on=app_on,
+                    params, opt_states, aux, data.images, data.masks,
+                    data.masks_eroded, fids_es, keys_es, ref_verts,
+                    plateau3, n_act, coarse_on=coarse_on, app_on=app_on,
                 )
             term_keys = list(breakdown)
             host = np.asarray(jnp.concatenate(
@@ -657,7 +826,7 @@ def fit_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
                                    bad_epochs=int(host[2 * E + 1]),
                                    scale=float(host[2 * E + 2]))
             terms_h = host[2 * E + 3:].reshape(len(term_keys), E)
-            for i in range(E):
+            for i in range(L):  # masked tail rows are garbage — drop them
                 history.append({
                     "epoch": epoch + i, "loss": float(totals_h[i]),
                     **{k: float(terms_h[j, i]) / steps
@@ -666,8 +835,9 @@ def fit_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
                 if logger is not None:
                     logger.log(epoch + i, lr_scale=float(scales_h[i]),
                                **history[-1])
-            epoch += E - 1  # the shared per-epoch action block below runs
-            # for the segment's last epoch (no mid-segment actions exist).
+            _run_actions(epoch + L - 1, range(epoch, epoch + L))
+            epoch += L
+            continue
         else:
             perm = rng.permutation(n)
             total_acc = None
@@ -712,29 +882,7 @@ def fit_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
                             **{k: v / steps for k, v in term_sums.items()}})
             if logger is not None:
                 logger.log(epoch, lr_scale=plateau.scale, **history[-1])
-        if out_dir is not None and image_log_every and epoch % image_log_every == 0:
-            _log_images(params, aux, data, assets, config, rcfg, out_dir, epoch)
-        if (out_dir is not None and val_data is not None and val_log_every
-                and epoch % val_log_every == 0):
-            _log_val_images(params, val_params, val_data, assets, config, rcfg,
-                            out_dir, epoch, extras)
-        if out_dir is not None and checkpoint_every and epoch > 0                 and epoch % checkpoint_every == 0:
-            from harp_tpu.utils.io import save_result, save_checkpoint
-            import os
-
-            save_result(params, out_dir, test=config.known_appearance)
-            plateau_extra = {"plateau": dataclasses.asdict(plateau),
-                             "ref_verts": np.asarray(ref_verts)}
-            if orbax_ckpt is not None:
-                # Async: device-to-host + write happen in the background,
-                # the epoch loop does not block on storage.
-                orbax_ckpt.save(epoch, params, opt_states, plateau.scale,
-                                extra=plateau_extra)
-            else:
-                save_checkpoint(
-                    os.path.join(out_dir, "checkpoint.pkl"), params, opt_states,
-                    epoch, plateau.scale, extra=plateau_extra,
-                )
+        _run_actions(epoch, (epoch,))
         if callback is not None:
             callback(epoch, params, history[-1])
         epoch += 1

@@ -133,7 +133,7 @@ def _feature_count_per_frame(vgg: Vgg16Features, h: int, wdt: int) -> int:
 
 def precompute_slices(vgg: Vgg16Features, images: jnp.ndarray,
                       chunk: int | None = 6,
-                      dtype=jnp.bfloat16) -> tuple:
+                      dtype=None) -> tuple:
     """Per-frame GT feature pyramids for the whole sequence, computed once.
 
     The GT side of the perceptual loss (reference model/vgg.py:40-55 — the
@@ -143,7 +143,13 @@ def precompute_slices(vgg: Vgg16Features, images: jnp.ndarray,
     `dtype` (bf16 halves the HBM cost: ~49 MB/frame at 448² vs 99 MB f32).
     `images` must already be masked exactly as the loss masks them.
     Chunked over frame groups so the precompute never holds more than one
-    group's f32 pyramid live."""
+    group's f32 pyramid live.
+
+    dtype defaults to the vgg's compute_dtype so an f32
+    (reference-semantics) pipeline caches f32 GT features — a bf16 cache
+    under f32 compute would silently train against rounded GT."""
+    if dtype is None:
+        dtype = jnp.dtype(vgg.compute_dtype)
     N = images.shape[0]
     if not chunk or chunk >= N:
         return tuple(s.astype(dtype) for s in vgg.slices(images))
@@ -180,7 +186,8 @@ def vgg_feature_l1_cached(vgg: Vgg16Features, pred: jnp.ndarray,
         return total
 
     if not chunk or chunk >= B:
-        return absum(pred, fids) / total_n
+        body = jax.checkpoint(absum) if remat else absum
+        return body(pred, fids) / total_n
     c = max(d for d in range(1, int(chunk) + 1) if B % d == 0)
     pr = pred.reshape((B // c, c) + pred.shape[1:])
     fr = fids.reshape(B // c, c)
@@ -212,7 +219,12 @@ def vgg_feature_l1(vgg: Vgg16Features, pred: jnp.ndarray, true: jnp.ndarray,
     B = pred.shape[0]
     total_n = _feature_count_per_frame(vgg, pred.shape[1], pred.shape[2]) * B
     if not chunk or chunk >= B:
-        return _feature_abs_sum(vgg, pred, true) / total_n
+        # remat applies on the unchunked path too, so vgg_remat=True bounds
+        # HBM regardless of whether chunking kicked in (advisor r3).
+        body = lambda p, t: _feature_abs_sum(vgg, p, t)
+        if remat:
+            body = jax.checkpoint(body)
+        return body(pred, true) / total_n
     c = max(d for d in range(1, int(chunk) + 1) if B % d == 0)
     n = B // c
     pr = pred.reshape((n, c) + pred.shape[1:])

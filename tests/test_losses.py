@@ -96,12 +96,15 @@ def test_vgg_cached_gt_matches_recomputed():
 
     direct = vgg_feature_l1(vgg, pred, seq[fids], chunk=2)
 
-    gt32 = precompute_slices(vgg, seq, chunk=4, dtype=jnp.float32)
+    # The cache dtype defaults to the vgg's compute_dtype (advisor r3: an
+    # f32 reference-semantics pipeline must not silently cache bf16 GT).
+    gt32 = precompute_slices(vgg, seq, chunk=4)
+    assert gt32[1].dtype == jnp.float32
     assert all(s.shape[0] == 6 for s in gt32)
     cached32 = vgg_feature_l1_cached(vgg, pred, gt32, fids, chunk=2)
     np.testing.assert_allclose(cached32, direct, rtol=1e-6)
 
-    gt16 = precompute_slices(vgg, seq, chunk=4)  # bf16 default
+    gt16 = precompute_slices(vgg, seq, chunk=4, dtype=jnp.bfloat16)
     assert gt16[1].dtype == jnp.bfloat16
     cached16 = vgg_feature_l1_cached(vgg, pred, gt16, fids, chunk=2)
     np.testing.assert_allclose(cached16, direct, rtol=5e-3)
