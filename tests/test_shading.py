@@ -282,3 +282,88 @@ def test_pcf_band_compaction_falls_back_dense_on_ragged_groups():
     g0 = jax.grad(lambda d: pcf_visibility(d, x, y, a, cfg0).sum())(depth)
     g2 = jax.grad(lambda d: pcf_visibility(d, x, y, a, cfg2).sum())(depth)
     np.testing.assert_array_equal(np.asarray(g0), np.asarray(g2))
+
+
+def test_pcf_pallas_scatter_kernel_matches_dense():
+    """The Mosaic one-hot-matmul scatter (pallas/pcf_grad_kernel.py) must
+    equal a brute-force dense accumulation exactly: taps at every border
+    (clipped coords), a group spanning many row windows, and N not a
+    multiple of the 256-pixel group size."""
+    from harp_tpu.render.pallas.pcf_grad_kernel import (
+        pallas_pcf_scatter, fold_pad2,
+    )
+
+    rng = np.random.default_rng(7)
+    B, Hl, N = 2, 28, 300  # N % 256 != 0
+    hp4 = Hl + 4
+    # Centers cover the full clipped range [1, Hl+2] incl. both extremes.
+    yc = rng.integers(1, Hl + 3, size=(B, N)).astype(np.int32)
+    xc = rng.integers(1, Hl + 3, size=(B, N)).astype(np.int32)
+    yc[0, :4] = [1, Hl + 2, 1, Hl + 2]
+    xc[0, :4] = [1, 1, Hl + 2, Hl + 2]
+    upd = rng.normal(size=(B, N, 9)).astype(np.float32)
+
+    out = np.asarray(pallas_pcf_scatter(
+        jnp.asarray(yc), jnp.asarray(xc), jnp.asarray(upd), Hl,
+        interpret=True,
+    ))
+    ref = np.zeros((B, hp4, hp4), np.float32)
+    for b in range(B):
+        for i in range(N):
+            for di in (-1, 0, 1):
+                for dj in (-1, 0, 1):
+                    t = 3 * (di + 1) + (dj + 1)
+                    ref[b, yc[b, i] + di, xc[b, i] + dj] += upd[b, i, t]
+    # Exact: both are f32 sums of the same values; ordering differences
+    # stay within one-ulp accumulation noise of the window matmuls.
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-5)
+
+    # fold_pad2 == transpose of edge-pad-by-2: pin against jax.vjp of pad.
+    dpad = jnp.asarray(rng.normal(size=(B, hp4, hp4)).astype(np.float32))
+    _, vjp = jax.vjp(
+        lambda d: jnp.pad(d, ((0, 0), (2, 2), (2, 2)), mode="edge"),
+        jnp.zeros((B, Hl, Hl), jnp.float32),
+    )
+    np.testing.assert_allclose(
+        np.asarray(fold_pad2(dpad)), np.asarray(vjp(dpad)[0]),
+        rtol=1e-6, atol=1e-6,
+    )
+
+
+def test_pcf_pallas_backward_matches_xla_path():
+    """pcf_visibility with the Pallas backward (pcf_backend=
+    "pallas_interpret" on CPU) must reproduce the XLA scatter path: same
+    values, same gradients w.r.t. the depth map and the point depths —
+    including clipped out-of-range tap centers."""
+    from harp_tpu.config import HarpConfig
+    from harp_tpu.render.shadow import pcf_visibility
+
+    cfg_x = HarpConfig(img_size=32, texture_size=16, pcf_backend="xla")
+    cfg_p = HarpConfig(img_size=32, texture_size=16,
+                       pcf_backend="pallas_interpret")
+    rng = np.random.default_rng(5)
+    B, Hl = 2, 19
+    depth = jnp.asarray(rng.normal(size=(B, Hl, Hl)).astype(np.float32))
+    xs = np.concatenate([rng.integers(0, Hl, size=40),
+                         np.array([-7, -2, -1, 0, 1, Hl - 2, Hl - 1, Hl,
+                                   Hl + 1, Hl + 6])])
+    ys = np.concatenate([rng.integers(0, Hl, size=40),
+                         np.array([Hl + 3, Hl, Hl - 1, 0, -1, -5, 2, Hl - 2,
+                                   1, -1])])
+    x = jnp.asarray(np.stack([xs, ys]).astype(np.int32))
+    y = jnp.asarray(np.stack([ys, xs]).astype(np.int32))
+    a = jnp.asarray(rng.normal(size=x.shape).astype(np.float32))
+
+    vx = pcf_visibility(depth, x, y, a, cfg_x)
+    vp = pcf_visibility(depth, x, y, a, cfg_p)
+    np.testing.assert_allclose(np.asarray(vp), np.asarray(vx), atol=1e-6)
+
+    g = jnp.asarray(rng.normal(size=vx.shape).astype(np.float32))
+    gx = jax.grad(lambda d, aa: (pcf_visibility(d, x, y, aa, cfg_x) * g).sum(),
+                  argnums=(0, 1))(depth, a)
+    gp = jax.grad(lambda d, aa: (pcf_visibility(d, x, y, aa, cfg_p) * g).sum(),
+                  argnums=(0, 1))(depth, a)
+    np.testing.assert_allclose(np.asarray(gp[0]), np.asarray(gx[0]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gx[1]),
+                               rtol=1e-5, atol=1e-6)
