@@ -20,12 +20,25 @@ import jax.numpy as jnp
 from harp_tpu.losses.perceptual import Vgg16Features
 
 
-def sil_iou(ref_masks, pred_masks) -> float:
-    ref_b = np.asarray(ref_masks) >= 0.5
-    pred_b = np.asarray(pred_masks) >= 0.5
+def iou_per_frame(ref_masks: jnp.ndarray, pred_masks: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W) masks -> (B,) IoU at the 0.5 threshold. jit-safe — the
+    device-side body of sil_iou, used by the fused eval pass."""
+    ref_b = ref_masks >= 0.5
+    pred_b = pred_masks >= 0.5
     union = (ref_b | pred_b).sum(axis=(1, 2))
     inter = (ref_b & pred_b).sum(axis=(1, 2))
-    return float(np.mean(inter / np.maximum(union, 1)))
+    return inter / jnp.maximum(union, 1)
+
+
+def l1_per_frame(ref_images: jnp.ndarray, pred_images: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, C) -> (B,) mean absolute difference per frame (jit-safe)."""
+    return jnp.abs(ref_images - pred_images).mean(axis=(1, 2, 3))
+
+
+def sil_iou(ref_masks, pred_masks) -> float:
+    return float(np.mean(np.asarray(
+        iou_per_frame(jnp.asarray(ref_masks), jnp.asarray(pred_masks))
+    )))
 
 
 def l1_diff(ref_images, pred_images) -> float:
@@ -73,8 +86,9 @@ def ssim(x, y, data_range: float = 1.0) -> float:
 MS_SSIM_WEIGHTS = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)
 
 
-def ms_ssim(x, y, data_range: float = 1.0, weights=MS_SSIM_WEIGHTS,
-            win_size: int = 11) -> float:
+def ms_ssim_per_frame(x: jnp.ndarray, y: jnp.ndarray, data_range: float = 1.0,
+                      weights=MS_SSIM_WEIGHTS, win_size: int = 11) -> jnp.ndarray:
+    """(B, H, W, C) -> (B,) MS-SSIM (jit-safe; shape logic is static)."""
     x = jnp.asarray(x, jnp.float32)
     y = jnp.asarray(y, jnp.float32)
     # Use only scales where the downsampled image still fits the window
@@ -98,13 +112,34 @@ def ms_ssim(x, y, data_range: float = 1.0, weights=MS_SSIM_WEIGHTS,
                 y, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
             ) / 4.0
     vals = jnp.stack([jax.nn.relu(v) for v in vals])  # (L, B)
-    out = jnp.prod(vals ** jnp.asarray(weights)[:, None], axis=0)
-    return float(out.mean())
+    return jnp.prod(vals ** jnp.asarray(weights)[:, None], axis=0)
+
+
+def ms_ssim(x, y, data_range: float = 1.0, weights=MS_SSIM_WEIGHTS,
+            win_size: int = 11) -> float:
+    return float(ms_ssim_per_frame(x, y, data_range, weights, win_size).mean())
+
+
+def perceptual_per_frame(vgg: Vgg16Features, x: jnp.ndarray,
+                         y: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, 3) -> (B,) LPIPS-style distance (jit-safe, one group):
+    unit-normalize features per channel, mean squared difference per layer,
+    summed (uniform layer weights). The caller chunks the batch — every
+    pyramid slice of the group is live at once."""
+    fx = vgg.slices(x)[1:]
+    fy = vgg.slices(y)[1:]
+    total = 0.0
+    for a, b in zip(fx, fy):
+        a = a.astype(jnp.float32)
+        b = b.astype(jnp.float32)
+        an = a / jnp.maximum(jnp.linalg.norm(a, axis=-1, keepdims=True), 1e-10)
+        bn = b / jnp.maximum(jnp.linalg.norm(b, axis=-1, keepdims=True), 1e-10)
+        total = total + ((an - bn) ** 2).sum(-1).mean(axis=(1, 2))
+    return total
 
 
 def perceptual_distance(vgg: Vgg16Features, x, y, chunk: int = 8) -> float:
-    """LPIPS-style distance: unit-normalize features per channel, mean squared
-    difference per layer, summed (uniform layer weights).
+    """Mean LPIPS-style distance over the batch.
 
     Frames are processed in `chunk`-sized groups: holding every pyramid
     slice of a 64-frame eval batch live costs ~13 GB per side at 448^2 —
@@ -113,14 +148,9 @@ def perceptual_distance(vgg: Vgg16Features, x, y, chunk: int = 8) -> float:
     y = jnp.asarray(y)
     per_frame = []
     for s in range(0, x.shape[0], max(int(chunk), 1)):
-        fx = vgg.slices(x[s:s + chunk])[1:]
-        fy = vgg.slices(y[s:s + chunk])[1:]
-        total = 0.0
-        for a, b in zip(fx, fy):
-            an = a / jnp.maximum(jnp.linalg.norm(a, axis=-1, keepdims=True), 1e-10)
-            bn = b / jnp.maximum(jnp.linalg.norm(b, axis=-1, keepdims=True), 1e-10)
-            total = total + ((an - bn) ** 2).sum(-1).mean(axis=(1, 2))
-        per_frame.append(np.asarray(total))
+        per_frame.append(
+            np.asarray(perceptual_per_frame(vgg, x[s:s + chunk], y[s:s + chunk]))
+        )
     return float(np.concatenate(per_frame).mean())
 
 

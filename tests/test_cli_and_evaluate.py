@@ -40,6 +40,21 @@ def test_evaluate_sequence_on_gt_params(tmp_path):
     assert os.path.exists(tmp_path / "rendered_after_opt" / "0000.jpg")
     assert os.path.exists(tmp_path / "uv_out" / "texture.png")
     assert os.path.exists(tmp_path / "eval_results.txt")
+    # The posed frame-0 mesh is exported with UVs + MTL (reference
+    # optimize_sequence.py:777-791) and round-trips through the OBJ loader.
+    from harp_tpu.assets import load_obj_with_uv
+    from harp_tpu.render import pipeline
+
+    obj_path = tmp_path / "uv_out" / "final_mesh.obj"
+    assert os.path.exists(obj_path)
+    assert os.path.exists(tmp_path / "uv_out" / "final_mesh.mtl")
+    v, f, vt, fuv = load_obj_with_uv(str(obj_path))
+    v0, _ = pipeline.mesh_forward(gt, jnp.asarray([0]), ASSETS, config)
+    np.testing.assert_allclose(v, np.asarray(v0[0]), atol=1e-5)
+    np.testing.assert_array_equal(f, ASSETS.render_faces)
+    np.testing.assert_allclose(vt, ASSETS.verts_uvs, atol=1e-5)
+    np.testing.assert_array_equal(fuv, ASSETS.faces_uvs)
+    assert "map_Kd texture.png" in open(tmp_path / "uv_out" / "final_mesh.mtl").read()
 
 
 def test_interpolate_poses_30():
