@@ -17,10 +17,15 @@ def _neighbor_offsets(key, shape, std):
 
 
 def smooth_texture_reg(texture: jnp.ndarray, key, std: float = 2.0,
-                       uv_mask: jnp.ndarray | None = None) -> jnp.ndarray:
-    """Mean |texel - random neighbor|_1 / 3, uv-masked."""
+                       uv_mask: jnp.ndarray | None = None,
+                       offsets: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Mean |texel - random neighbor|_1 / 3, uv-masked.
+
+    offsets: optional (H, W, 2) int32 neighbor offsets replacing the drawn
+    ones — used by the golden-parity tests to replay the exact offsets the
+    executed reference sampled (its torch.normal is global-RNG)."""
     H, W = texture.shape[0], texture.shape[1]
-    dist = _neighbor_offsets(key, (H, W), std)
+    dist = _neighbor_offsets(key, (H, W), std) if offsets is None else offsets
     gx = jnp.arange(H)[:, None] + dist[..., 0]
     gy = jnp.arange(W)[None, :] + dist[..., 1]
     gx = jnp.clip(gx, 0, H - 1)
@@ -33,13 +38,15 @@ def smooth_texture_reg(texture: jnp.ndarray, key, std: float = 2.0,
 
 
 def albedo_reg(texture: jnp.ndarray, key, std: float = 1.0,
-               uv_mask: jnp.ndarray | None = None) -> jnp.ndarray:
+               uv_mask: jnp.ndarray | None = None,
+               offsets: jnp.ndarray | None = None) -> jnp.ndarray:
     """Reference albedo_reg: L1 norm (not mean-abs) per texel pair / 3.
 
     NOTE the reference uses p=1 norm over channels — identical to the sum of
     absolute channel differences, as in smooth_texture_reg.
     """
-    return smooth_texture_reg(texture, key, std=std, uv_mask=uv_mask)
+    return smooth_texture_reg(texture, key, std=std, uv_mask=uv_mask,
+                              offsets=offsets)
 
 
 def close_to_z_reg(normal_map: jnp.ndarray) -> jnp.ndarray:
@@ -53,8 +60,9 @@ def close_to_z_reg(normal_map: jnp.ndarray) -> jnp.ndarray:
 
 
 def normal_reg(normal_map: jnp.ndarray, key, std: float = 2.0,
-               uv_mask: jnp.ndarray | None = None) -> jnp.ndarray:
+               uv_mask: jnp.ndarray | None = None,
+               offsets: jnp.ndarray | None = None) -> jnp.ndarray:
     """0.2 * close-to-flat + local smoothness (texture_reg.py:33-38)."""
     return 0.2 * close_to_z_reg(normal_map) + smooth_texture_reg(
-        normal_map, key, std=std, uv_mask=uv_mask
+        normal_map, key, std=std, uv_mask=uv_mask, offsets=offsets
     )

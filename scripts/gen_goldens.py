@@ -202,6 +202,140 @@ def gen_mano_goldens():
     print(f"mano_golden.npz: {len(cases)} cases, {size/1e6:.2f} MB")
 
 
+def gen_loss_goldens():
+    """Pure-torch loss surfaces (no pytorch3d/chumpy): kps_loss,
+    albedo_reg / normal_reg / close_to_z_reg, LossSmoothPoses /
+    LossSmoothRoots. Values AND input-gradients are pinned — gradients
+    verify the reference's .detach() placements transfer to stop_gradient.
+
+    Reference: loss/kps_loss.py:4-18, loss/texture_reg.py:5-45,
+    loss/smooth.py:29-131 (executed read-only from /root/reference).
+    """
+    from loss.kps_loss import kps_loss
+    from loss import texture_reg as ref_treg
+    from loss.smooth import LossSmoothPoses, LossSmoothRoots
+
+    rng = np.random.RandomState(23)
+    out = {}
+
+    # --- kps_loss: gt in mm, pred in METERS (x1000 inside). use_arm slices
+    # pred to the first 21 joints (gt is already 21 in the reference call).
+    for tag, use_arm, J_pred in (("hand", False, 21), ("arm", True, 25)):
+        gt_mm = (30.0 * rng.randn(4, 21, 3)).astype(np.float64)
+        pred_m = (0.03 * rng.randn(4, J_pred, 3)).astype(np.float64)
+        g = torch.tensor(gt_mm)
+        p = torch.tensor(pred_m, requires_grad=True)
+        val = kps_loss(g, p, use_arm=use_arm, device="cpu")
+        val.backward()
+        out[f"kps_{tag}_gt_mm"] = gt_mm
+        out[f"kps_{tag}_pred_m"] = pred_m
+        out[f"kps_{tag}_val"] = val.item()
+        out[f"kps_{tag}_grad_pred_m"] = p.grad.numpy()
+
+    # --- texture regs. torch.normal is global-RNG; capture the drawn float
+    # offsets by patching it, save the truncated ints the indexing used.
+    H = W = 24
+    tex = rng.rand(H, W, 3).astype(np.float64)
+    nrm = (rng.rand(H, W, 3) * 2.0 - 1.0).astype(np.float64)
+    uv_mask = (rng.rand(H, W) > 0.3).astype(np.float64)
+    dist_f = torch.tensor((2.0 * rng.randn(H, W, 2)).astype(np.float64))
+
+    orig_normal = torch.normal
+
+    def fixed_normal(*a, **k):
+        return dist_f
+
+    torch.normal = fixed_normal
+    try:
+        t = torch.tensor(tex, requires_grad=True)
+        v_alb = ref_treg.albedo_reg(t, std=2.0, uv_mask=torch.tensor(uv_mask))
+        v_alb.backward()
+        nm = torch.tensor(nrm, requires_grad=True)
+        v_nrm = ref_treg.normal_reg(nm, std=2.0, uv_mask=torch.tensor(uv_mask))
+        v_nrm.backward()
+    finally:
+        torch.normal = orig_normal
+    nz = torch.tensor(nrm, requires_grad=True)
+    v_z = ref_treg.close_to_z_reg(nz)
+    v_z.backward()
+
+    out.update(
+        treg_texture=tex, treg_normal_map=nrm, treg_uv_mask=uv_mask,
+        treg_offsets=dist_f.to(torch.int).numpy().astype(np.int32),
+        treg_albedo_val=v_alb.item(), treg_albedo_grad=t.grad.numpy(),
+        treg_normal_val=v_nrm.item(), treg_normal_grad=nm.grad.numpy(),
+        treg_closez_val=v_z.item(), treg_closez_grad=nz.grad.numpy(),
+    )
+
+    # --- LossSmoothPoses / LossSmoothRoots. The classes call
+    # mano_layer(cat(rot, pose), shape.repeat, trans) three times (center /
+    # left / right fids, clamped at sequence bounds). Stand in a
+    # deterministic linear layer joints = reshape(x @ A^T): parity then
+    # covers the neighbor-fid clamping, root alignment, 3-frame interp,
+    # detach placement, and the /N — with gradients flowing to every param
+    # leaf exactly as through a real (frozen) layer.
+    F_, J = 6, 21
+    D = 48 + 10 + 3  # pose_cat(48) + shape(10) + trans(3)
+    A = (0.3 * rng.randn(J * 3, D)).astype(np.float64)
+    params_np = dict(
+        rot=(0.2 * rng.randn(F_, 3)).astype(np.float64),
+        pose=(0.3 * rng.randn(F_, 45)).astype(np.float64),
+        shape=(0.5 * rng.randn(1, 10)).astype(np.float64),
+        trans=(0.1 * rng.randn(F_, 3)).astype(np.float64),
+        cam=np.stack(
+            [1.0 + 0.1 * rng.rand(F_), 0.05 * rng.randn(F_),
+             0.05 * rng.randn(F_)], 1
+        ).astype(np.float64),
+    )
+    fid = np.array([0, 2, 5], np.int64)  # exercises both boundary clamps
+    focal, res = 531.0, 224
+
+    params_t = {k: torch.tensor(v, requires_grad=True)
+                for k, v in params_np.items()}
+    A_t = torch.tensor(A)
+
+    class StubLayer:
+        def __call__(self, pose_cat, shape, trans):
+            x = torch.cat([pose_cat, shape, trans], dim=1)
+            joints = (x @ A_t.T).reshape(-1, J, 3)
+            return joints * 0.0, joints  # verts unused by the losses
+
+    layer = StubLayer()
+    lsp = LossSmoothPoses(F_, use_arm=False)
+    v_poses = lsp.smooth_pose(params_t, torch.tensor(fid), layer, device="cpu")
+    v_poses.backward()
+    grads_poses = {k: (p.grad.numpy().copy() if p.grad is not None
+                       else np.zeros_like(params_np[k]))
+                   for k, p in params_t.items()}
+
+    params_t2 = {k: torch.tensor(v, requires_grad=True)
+                 for k, v in params_np.items()}
+    lsr = LossSmoothRoots(F_, focal, res, use_arm=False)
+    v_roots = lsr.smooth_root(params_t2, torch.tensor(fid), layer, device="cpu")
+    v_roots.backward()
+    grads_roots = {k: (p.grad.numpy().copy() if p.grad is not None
+                       else np.zeros_like(params_np[k]))
+                   for k, p in params_t2.items()}
+
+    out.update(
+        smooth_A=A, smooth_fid=fid.astype(np.int32),
+        smooth_nframes=np.int64(F_), smooth_focal=np.float64(focal),
+        smooth_res=np.int64(res),
+        smooth_poses_val=v_poses.item(), smooth_roots_val=v_roots.item(),
+    )
+    for k, v in params_np.items():
+        out["smooth_param_" + k] = v
+    for k, v in grads_poses.items():
+        out["smooth_poses_grad_" + k] = v
+    for k, v in grads_roots.items():
+        out["smooth_roots_grad_" + k] = v
+
+    np.savez_compressed(os.path.join(OUT_DIR, "losses_golden.npz"), **out)
+    print("losses_golden.npz:",
+          {k: out[k] for k in out if k.endswith("_val")})
+
+
 if __name__ == "__main__":
     gen_rotation_goldens()
     gen_mano_goldens()
+    gen_loss_goldens()
