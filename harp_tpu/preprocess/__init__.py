@@ -1,3 +1,8 @@
+from harp_tpu.preprocess.crop import (
+    crop_frame,
+    crop_unscreen_sequence,
+    resize_center_crop,
+)
 from harp_tpu.preprocess.fit import (
     fit_mano_to_vertices,
     fit_arm_to_vertices,

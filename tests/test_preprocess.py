@@ -156,3 +156,51 @@ def test_fit_nimble_recovers_vertices():
     assert err < 3.0, err
     assert out["pose"].shape == (B, model.ncomps)
     assert out["joints"].shape == (B, 21, 3)
+
+
+def test_crop_unscreen_sequence(tmp_path):
+    """Raw RGBA frames (alpha = Unscreen segmentation) -> the ingest layout
+    (reference end2end_inference_handmesh.py:104-115,156-186): short side
+    resized to res, center crop, white background through the soft mask,
+    mask/%04d_mask.jpg + unscreen_cropped/%04d.jpg."""
+    import numpy as np
+    from PIL import Image
+    from harp_tpu.preprocess.crop import (
+        crop_unscreen_sequence, resize_center_crop, frame_index,
+    )
+
+    res = 64
+    raw = tmp_path / "unscreen"
+    raw.mkdir()
+    H, W = 96, 128  # landscape: exercises the long-side crop
+    rng = np.random.RandomState(0)
+    for f in range(3):
+        rgba = np.zeros((H, W, 4), np.uint8)
+        rgba[..., :3] = rng.randint(0, 255, (H, W, 3))
+        # centered disc of foreground alpha
+        yy, xx = np.mgrid[:H, :W]
+        rgba[..., 3] = np.where(
+            (yy - H // 2) ** 2 + (xx - W // 2) ** 2 < (20 + f) ** 2, 255, 0
+        )
+        Image.fromarray(rgba).save(raw / ("%04d.png" % f))
+    # a distractor the listing filter must skip
+    Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(raw / "0000_pred.png")
+
+    n = crop_unscreen_sequence(str(raw), str(tmp_path), res=res)
+    assert n == 3
+    for f in range(3):
+        img = np.asarray(Image.open(
+            tmp_path / "unscreen_cropped" / ("%04d.jpg" % f)))
+        msk = np.asarray(Image.open(tmp_path / "mask" / ("%04d_mask.jpg" % f)))
+        assert img.shape == (res, res, 3) and msk.shape == (res, res)
+        # disc interior is foreground, far corners are white background
+        assert msk[res // 2, res // 2] > 200 and msk[2, 2] < 50
+        assert np.all(img[2, 2] > 240)
+    assert frame_index(str(raw / "0002.png")) == 2
+
+    # geometry: short side -> res, centered crop (torchvision arithmetic)
+    im = Image.fromarray(np.zeros((96, 128), np.uint8))
+    assert resize_center_crop(im, 64).size == (64, 64)
+
+    # skip-if-done mirrors the reference (cropped dir present -> no rework)
+    assert crop_unscreen_sequence(str(raw), str(tmp_path), res=res) == 3
