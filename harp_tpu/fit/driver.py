@@ -459,6 +459,10 @@ def fit_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
     if its compile failed.
     """
     from harp_tpu.fit.optimizer import build_optimizers, PlateauState, plateau_update
+    import time as _time
+
+    _walls: dict = {}  # setup/segment timing anatomy, logged to the JSONL
+    _t0 = _time.perf_counter()
 
     rcfg = rcfg or config.raster_config()
     if vgg is None and config.w_vgg > 0:
@@ -544,8 +548,15 @@ def fit_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
         # quietly change the loss mid-protocol.
         ref_verts = jnp.asarray(resume["extra"]["ref_verts"])
     else:
-        ref_verts, _ = pipeline.mesh_forward(params, jnp.asarray([0]), assets, config)
-        ref_verts = jax.lax.stop_gradient(ref_verts[0])
+        # Jitted: the eager path dispatches the whole LBS+subdivision chain
+        # op-by-op over the device tunnel (~tens of ms each).
+        ref_verts = jax.jit(
+            lambda p: pipeline.mesh_forward(p, jnp.asarray([0]), assets,
+                                            config)[0][0]
+        )(params)
+        ref_verts = jax.lax.stop_gradient(ref_verts)
+        jax.block_until_ready(ref_verts)
+    _walls["setup_ref_verts_s"] = _time.perf_counter() - _t0
 
     n = data.num_frames
     bs = min(config.batch_size, n)
@@ -761,11 +772,19 @@ def fit_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
                     opt_states, label, plateau.scale, extra=plateau_extra,
                 )
 
+    _walls["setup_total_s"] = _time.perf_counter() - _t0
+    if logger is not None:
+        logger.log(-1, **_walls)
+
     epoch = start_epoch
     while epoch < config.total_epoch:
         coarse_on, app_on = stage_flags(epoch, config)
         if app_on:
+            _t_gt = _time.perf_counter()
             _ensure_vgg_gt()
+            _gt_s = _time.perf_counter() - _t_gt
+            if logger is not None and _gt_s > 0.5:
+                logger.log(epoch, vgg_gt_materialize_s=_gt_s)
 
         if use_scan:
             E = epoch_scan
@@ -801,7 +820,9 @@ def fit_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
                         jnp.asarray(plateau.bad_epochs, jnp.int32),
                         jnp.asarray(plateau.scale, jnp.float32))
             n_act = jnp.asarray(L, jnp.int32)
+            _t_seg = _time.perf_counter()
             comp = _program("scan", (coarse_on, app_on))
+            _wait_s = _time.perf_counter() - _t_seg
             if comp is not None:
                 params, opt_states, plateau3, totals, scales, breakdown = comp(
                     params, opt_states, aux, data.images, data.masks,
@@ -826,6 +847,10 @@ def fit_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
                                    bad_epochs=int(host[2 * E + 1]),
                                    scale=float(host[2 * E + 2]))
             terms_h = host[2 * E + 3:].reshape(len(term_keys), E)
+            _seg_s = _time.perf_counter() - _t_seg
+            _t_act = _time.perf_counter()
+            _run_actions(epoch + L - 1, range(epoch, epoch + L))
+            _act_s = _time.perf_counter() - _t_act
             for i in range(L):  # masked tail rows are garbage — drop them
                 history.append({
                     "epoch": epoch + i, "loss": float(totals_h[i]),
@@ -833,9 +858,11 @@ def fit_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
                        for j, k in enumerate(term_keys)},
                 })
                 if logger is not None:
+                    timing = ({} if i < L - 1 else
+                              {"segment_s": _seg_s, "program_wait_s": _wait_s,
+                               "actions_s": _act_s})
                     logger.log(epoch + i, lr_scale=float(scales_h[i]),
-                               **history[-1])
-            _run_actions(epoch + L - 1, range(epoch, epoch + L))
+                               **history[-1], **timing)
             epoch += L
             continue
         else:
@@ -886,6 +913,7 @@ def fit_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
         if callback is not None:
             callback(epoch, params, history[-1])
         epoch += 1
+    _flush_log_writer()  # pending async image writes land before we return
     if logger is not None:
         logger.close()
     if orbax_ckpt is not None:
@@ -913,9 +941,50 @@ def _cached_render(kind, n, objs, build):
     return fn
 
 
+def _grid_u8(imgs, rows: int = 3, cols: int = 3):
+    """(n,H,W,3) float in [0,1] -> (rows*H, cols*W, 3) uint8 tile grid, on
+    device (viz.image_grid semantics, black padding)."""
+    n, H, W, _ = imgs.shape
+    pad = rows * cols - n
+    if pad > 0:
+        imgs = jnp.concatenate(
+            [imgs, jnp.zeros((pad, H, W, 3), imgs.dtype)], 0
+        )
+    g = imgs.reshape(rows, cols, H, W, 3).transpose(0, 2, 1, 3, 4)
+    g = g.reshape(rows * H, cols * W, 3)
+    return (jnp.clip(g, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
+
+# Single background writer for periodic image logs: the device->host pull of
+# the logging grids (~10 MB uint8) rides the tunnel while the NEXT scan
+# segment trains, instead of blocking the epoch loop (round-4 anatomy: the
+# old f32 + host-side-grid path moved ~58 MB and cost seconds per segment).
+# One pending job at a time bounds memory and keeps writes ordered.
+_LOG_WRITER: list = []  # [Thread] — at most one
+
+
+def _flush_log_writer():
+    while _LOG_WRITER:
+        _LOG_WRITER.pop().join()
+
+
+def _submit_log_write(fn):
+    import threading
+
+    _flush_log_writer()
+    t = threading.Thread(target=fn, daemon=True)
+    t.start()
+    _LOG_WRITER.append(t)
+
+
 def _log_images(params, aux, data, assets, config, rcfg, out_dir, epoch):
     """Silhouette overlay + RGB pair grids for the first frames
-    (reference show_img_pair logging, optimize_sequence.py:490-501)."""
+    (reference show_img_pair logging, optimize_sequence.py:490-501).
+
+    The grids are assembled and quantized to uint8 ON DEVICE (the GT halves
+    never change, so only the prediction grids cross the tunnel) and the
+    host pull + JPEG encode run on a background writer thread — the epoch
+    loop only pays the async dispatch."""
     import os
     from harp_tpu.utils import viz
 
@@ -925,7 +994,7 @@ def _log_images(params, aux, data, assets, config, rcfg, out_dir, epoch):
         fids = jnp.arange(n)
 
         @jax.jit
-        def render(p):
+        def render(p, masks_n):
             verts, _ = pipeline.mesh_forward(p, fids, assets, config)
             R, T = pipeline.camera_for_frames(p, fids, config)
             alpha = pipeline.render_silhouette(verts, assets, R, T, config, rcfg)
@@ -934,20 +1003,24 @@ def _log_images(params, aux, data, assets, config, rcfg, out_dir, epoch):
                 verts, assets, R, T, config, rcfg, p["texture"],
                 p["normal_map"], light
             )
-            return alpha, rgb
+            # GT mask in red, prediction in blue (viz.sil_overlay).
+            overlay = jnp.stack(
+                [masks_n, jnp.zeros_like(alpha), alpha], axis=-1
+            )
+            return _grid_u8(overlay), _grid_u8(rgb)
 
         return render
 
     render = _cached_render("log_images", n, (assets, config, rcfg), build)
-    alpha, rgb = render(params)
-    viz.save_pair_grid(
-        np.asarray(alpha), np.asarray(data.masks[:n]),
-        os.path.join(out_dir, "sil_%04d.jpg" % epoch), silhouette=True,
-    )
-    viz.save_pair_grid(
-        np.asarray(rgb), np.asarray(data.images[:n]),
-        os.path.join(out_dir, "%04d.jpg" % epoch),
-    )
+    sil_grid, rgb_grid = render(params, data.masks[:n])  # async dispatch
+    sil_path = os.path.join(out_dir, "sil_%04d.jpg" % epoch)
+    rgb_path = os.path.join(out_dir, "%04d.jpg" % epoch)
+
+    def write():
+        viz.save_image(np.asarray(sil_grid), sil_path)
+        viz.save_image(np.asarray(rgb_grid), rgb_path)
+
+    _submit_log_write(write)
 
 
 def _log_val_images(params, val_params, val_data, assets, config, rcfg,

@@ -20,7 +20,10 @@ from harp_tpu.ops.rotations import axis_angle_to_matrix
 
 
 def _to_uint8(img: np.ndarray) -> np.ndarray:
-    return (np.clip(np.asarray(img), 0, 1) * 255).astype(np.uint8)
+    img = np.asarray(img)
+    if img.dtype == np.uint8:  # already quantized (e.g. on device)
+        return img
+    return (np.clip(img, 0, 1) * 255).astype(np.uint8)
 
 
 def save_image(img, path: str) -> None:
