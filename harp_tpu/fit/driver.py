@@ -758,7 +758,6 @@ def fit_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
             from harp_tpu.utils.io import save_result, save_checkpoint
             import os
 
-            save_result(params, out_dir, test=config.known_appearance)
             plateau_extra = {"plateau": dataclasses.asdict(plateau),
                              "ref_verts": np.asarray(ref_verts)}
             if orbax_ckpt is not None:
@@ -767,10 +766,22 @@ def fit_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
                 orbax_ckpt.save(label, params, opt_states, plateau.scale,
                                 extra=plateau_extra)
             else:
-                save_checkpoint(
-                    os.path.join(out_dir, "checkpoint.pkl"), params,
-                    opt_states, label, plateau.scale, extra=plateau_extra,
-                )
+                # Device-side copies decouple the snapshot from the next
+                # segment's donation of params/opt_states; the host pull +
+                # pickle ride the background writer thread (mid-protocol
+                # this transfer cost ~5 s of epoch-loop block).
+                p_snap, s_snap = _copy_tree((params, opt_states))
+                scale = plateau.scale
+
+                def write_ckpt(p=p_snap, s=s_snap, lb=label, sc=scale,
+                               ex=plateau_extra):
+                    save_result(p, out_dir, test=config.known_appearance)
+                    save_checkpoint(
+                        os.path.join(out_dir, "checkpoint.pkl"), p, s,
+                        lb, sc, extra=ex,
+                    )
+
+                _submit_log_write(write_ckpt)
 
     _walls["setup_total_s"] = _time.perf_counter() - _t0
     if logger is not None:
@@ -939,6 +950,13 @@ def _cached_render(kind, n, objs, build):
     fn = build()
     _LOG_RENDER_CACHE[key] = (objs, fn)
     return fn
+
+
+@jax.jit
+def _copy_tree(t):
+    """Fresh device buffers for every leaf — a snapshot that survives a
+    later donation of the originals (used by async checkpointing)."""
+    return jax.tree.map(jnp.copy, t)
 
 
 def _grid_u8(imgs, rows: int = 3, cols: int = 3):
