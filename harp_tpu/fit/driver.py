@@ -549,13 +549,23 @@ def fit_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
         ref_verts = jnp.asarray(resume["extra"]["ref_verts"])
     else:
         # Jitted: the eager path dispatches the whole LBS+subdivision chain
-        # op-by-op over the device tunnel (~tens of ms each).
-        ref_verts = jax.jit(
-            lambda p: pipeline.mesh_forward(p, jnp.asarray([0]), assets,
-                                            config)[0][0]
-        )(params)
-        ref_verts = jax.lax.stop_gradient(ref_verts)
-        jax.block_until_ready(ref_verts)
+        # op-by-op over the device tunnel (~tens of ms each). Off-mesh, the
+        # concrete compute is DEFERRED to just after the prefetch thread
+        # starts, so this program's compile/load overlaps the stage-1 scan's
+        # (its abstract shape is enough for the prefetch lowering).
+        _ref_fn = jax.jit(
+            lambda p: jax.lax.stop_gradient(
+                pipeline.mesh_forward(p, jnp.asarray([0]), assets,
+                                      config)[0][0]
+            )
+        )
+        if mesh is not None:
+            # Under a mesh the prefetch lowering needs the concrete array's
+            # GSPMD sharding; compute it now.
+            ref_verts = _ref_fn(params)
+            jax.block_until_ready(ref_verts)
+        else:
+            ref_verts = None  # deferred; see below
     _walls["setup_ref_verts_s"] = _time.perf_counter() - _t0
 
     n = data.num_frames
@@ -633,7 +643,8 @@ def fit_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
         p_abs = jax.tree.map(_abs, params)
         s_abs = jax.tree.map(_abs, opt_states)
         a_abs = jax.tree.map(_abs, aux)
-        rv_abs = _abs(ref_verts)
+        rv_abs = (_abs(ref_verts) if ref_verts is not None
+                  else _abs(jax.eval_shape(_ref_fn, p_abs)))
         f32s = jax.ShapeDtypeStruct((), jnp.float32)
         i32s = jax.ShapeDtypeStruct((), jnp.int32)
         key_abs = jax.ShapeDtypeStruct((2,), jnp.uint32)
@@ -715,6 +726,14 @@ def fit_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
                     pass
 
         threading.Thread(target=_compile_plan, daemon=True).start()
+
+    if ref_verts is None:
+        # Deferred ARAP-reference compute: rides alongside the prefetch
+        # thread's stage-1 scan compile/load instead of before it.
+        _t_rv = _time.perf_counter()
+        ref_verts = _ref_fn(params)
+        jax.block_until_ready(ref_verts)
+        _walls["setup_ref_verts_s"] = _time.perf_counter() - _t_rv
 
     def _program(kind, flags):
         """The AOT-compiled program for (kind, stage flags), or None."""

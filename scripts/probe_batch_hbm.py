@@ -10,8 +10,11 @@ Usage: python scripts/probe_batch_hbm.py [S] [batch] [--vgg] [--run]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
