@@ -572,7 +572,15 @@ def fit_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
     bs = min(config.batch_size, n)
     steps = max(n // bs, 1)
     rng = np.random.RandomState(seed)
-    key = jax.random.PRNGKey(seed)
+    # The whole fit's texture-reg key stream, precomputed ON THE CPU BACKEND
+    # (threefry is bitwise platform-independent): the old per-segment
+    # jax.jit(lax.scan(split))(key) compiled one tunnel program PER DISTINCT
+    # segment length (~10-12 s each — the r4c run paid it twice, once for
+    # L=10 and once for the L=1 remainder at epoch 300), and a resumed fit
+    # replayed start_epoch*steps EAGER splits over the tunnel (~25 ms each).
+    # subs_all[e*steps + s] is bit-identical to the carried
+    # `key, sub = jax.random.split(key)` stream both paths used before.
+    subs_all = _key_stream_host(seed, config.total_epoch * steps)
     plateau = PlateauState()
     history = []
     start_epoch = 0
@@ -583,12 +591,11 @@ def fit_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
                                    for k, v in pl.items()}) if pl else
                    PlateauState(scale=float(resume.get("plateau_scale", 1.0))))
         start_epoch = int(resume["epoch"]) + 1
-        # Replay the RNG streams so a resumed fit sees the same permutations
-        # and texture-reg keys as an uninterrupted one.
+        # Replay the permutation stream so a resumed fit sees the same
+        # minibatches as an uninterrupted one (the key stream is indexed by
+        # absolute epoch, so it needs no replay).
         for _ in range(start_epoch):
             rng.permutation(n)
-            for _ in range(steps):
-                key, _ = jax.random.split(key)
 
     scan_fn = None
     if epoch_scan and epoch_scan > 1:
@@ -683,49 +690,89 @@ def fit_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
                 return dict(a_abs, vgg_gt=gt_abs)
             return a_abs
 
-        def _compile_plan():
-            for kind, (c_on, a_on) in plan:
-                if (a_on and vgg_gt_fn is not None
-                        and "gtvgg" not in _programs):
-                    # The GT-VGG cache program compiles/loads just before
-                    # the first app-stage program, still inside this thread
-                    # (overlapping stage-1 training).
-                    try:
-                        _programs["gtvgg"] = vgg_gt_fn.lower(
-                            jax.tree.map(_abs, vgg_gt_masked),
-                            jax.tree.map(_abs, aux["vgg_params"]),
-                        ).compile()
-                    except Exception:
-                        _programs["gtvgg"] = None
-                    finally:
-                        _events["gtvgg"].set()
-                try:
-                    aux_k = _aux_abs_for(a_on)
-                    if kind == "scan":
-                        low = scan_fn.lower(
-                            p_abs, s_abs, aux_k, seq_img_abs, seq_msk_abs,
-                            seq_mer_abs, fids_es_abs, keys_es_abs,
-                            rv_abs, (f32s, i32s, f32s), i32s,
-                            coarse_on=c_on, app_on=a_on,
-                        )
-                    else:
-                        low = train_step.lower(
-                            p_abs, s_abs, aux_k, fids_abs, img_abs, msk_abs,
-                            mer_abs, rv_abs, key_abs, f32s,
-                            coarse_on=c_on, app_on=a_on,
-                        )
-                    _programs[(kind, (c_on, a_on))] = low.compile()
-                except Exception:  # fall back to the jit path for this combo
-                    _programs[(kind, (c_on, a_on))] = None
-                finally:
-                    _events[(kind, (c_on, a_on))].set()
-            for fn in (prefetch_extra or []):
+        def _compile_prog(k):
+            kind, (c_on, a_on) = k
+            try:
+                aux_k = _aux_abs_for(a_on)
+                if kind == "scan":
+                    low = scan_fn.lower(
+                        p_abs, s_abs, aux_k, seq_img_abs, seq_msk_abs,
+                        seq_mer_abs, fids_es_abs, keys_es_abs,
+                        rv_abs, (f32s, i32s, f32s), i32s,
+                        coarse_on=c_on, app_on=a_on,
+                    )
+                else:
+                    low = train_step.lower(
+                        p_abs, s_abs, aux_k, fids_abs, img_abs, msk_abs,
+                        mer_abs, rv_abs, key_abs, f32s,
+                        coarse_on=c_on, app_on=a_on,
+                    )
+                _programs[k] = low.compile()
+            except Exception:  # fall back to the jit path for this combo
+                _programs[k] = None
+            finally:
+                _events[k].set()
+
+        def _compile_gtvgg():
+            try:
+                _programs["gtvgg"] = vgg_gt_fn.lower(
+                    jax.tree.map(_abs, vgg_gt_masked),
+                    jax.tree.map(_abs, aux["vgg_params"]),
+                ).compile()
+            except Exception:
+                _programs["gtvgg"] = None
+            finally:
+                _events["gtvgg"].set()
+
+        def _compile_copies():
+            # The tiny snapshot-copy executables used by the deferred
+            # logging renders and async checkpoints (first-call compiles
+            # cost ~5 s each over the tunnel).
+            try:
+                _copy_compiled(p_abs)
+                _copy_compiled((p_abs, s_abs))
+            except Exception:
+                pass
+
+        def _run_extra(fn):
+            def run():
                 try:
                     fn()
                 except Exception:
                     pass
+            return run
 
-        threading.Thread(target=_compile_plan, daemon=True).start()
+        # The axon worker overlaps concurrent compile/load requests almost
+        # perfectly (scripts/probe_compile_concurrency.py: two protocol
+        # stage scans warm-load in 50.7 s wall vs 94.7 s serial), so the
+        # plan runs on a small pool of lanes instead of one thread. Tasks
+        # stay in first-use order; three lanes keep the worker below the
+        # request level that has been observed to wedge it.
+        tasks = []
+        for i, k in enumerate(plan):
+            tasks.append(partial(_compile_prog, k))
+            if i == 0 and "gtvgg" in _events:
+                tasks.append(_compile_gtvgg)
+            if i == 1:
+                tasks.append(_compile_copies)
+        if len(plan) <= 1:
+            tasks.append(_compile_copies)
+        tasks.extend(_run_extra(fn) for fn in (prefetch_extra or []))
+
+        _next = [0]
+        _next_lock = threading.Lock()
+
+        def _lane():
+            while True:
+                with _next_lock:
+                    i = _next[0]
+                    if i >= len(tasks):
+                        return
+                    _next[0] += 1
+                tasks[i]()
+
+        for _ in range(min(3, len(tasks))):
+            threading.Thread(target=_lane, daemon=True).start()
 
     if ref_verts is None:
         # Deferred ARAP-reference compute: rides alongside the prefetch
@@ -833,19 +880,16 @@ def fit_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
                 )
             fids_es = jnp.asarray(fids_np)
 
-            def _chain(c, _):
-                ks = jax.random.split(c)
-                return ks[0], ks[1]
-
-            key, subs = jax.jit(
-                partial(jax.lax.scan, _chain, xs=None, length=L * steps)
-            )(key)
+            subs = subs_all[epoch * steps:(epoch + L) * steps]
             subs = subs.reshape((L, steps) + subs.shape[1:])
             if L < E:
-                subs = jnp.concatenate(
-                    [subs, jnp.broadcast_to(subs[-1:], (E - L,) + subs.shape[1:])], 0
+                # Masked tail epochs compute-and-discard; repeat the last
+                # epoch's keys (any keys would do — nothing they touch
+                # survives the n_active select).
+                subs = np.concatenate(
+                    [subs, np.broadcast_to(subs[-1:], (E - L,) + subs.shape[1:])], 0
                 )
-            keys_es = subs
+            keys_es = jnp.asarray(subs)
             plateau3 = (jnp.asarray(plateau.best, jnp.float32),
                         jnp.asarray(plateau.bad_epochs, jnp.int32),
                         jnp.asarray(plateau.scale, jnp.float32))
@@ -902,7 +946,7 @@ def fit_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
             comp = _program("step", (coarse_on, app_on))
             for s in range(steps):
                 fids = jnp.asarray(perm[s * bs : (s + 1) * bs], jnp.int32)
-                key, sub = jax.random.split(key)
+                sub = jnp.asarray(subs_all[epoch * steps + s])
                 step_args = (
                     params, opt_states, aux, fids,
                     gather_batch(data.images, fids),
@@ -971,11 +1015,58 @@ def _cached_render(kind, n, objs, build):
     return fn
 
 
-@jax.jit
+def _key_stream_host(seed: int, count: int) -> np.ndarray:
+    """The fit's per-step PRNG subkeys, computed once on the CPU backend.
+
+    Bit-identical to carrying `key, sub = jax.random.split(key)` from
+    jax.random.PRNGKey(seed) (threefry is platform-independent integer
+    math), but never touches the accelerator: the carried form cost one
+    tunnel-compiled scan program per distinct segment length, plus
+    start_epoch*steps eager tunnel splits on resume replay. Returns a
+    (count, 2) uint32 host array; subs_all[i] == the i-th carried subkey.
+    """
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        k0 = jax.random.PRNGKey(seed)
+
+        def body(c, _):
+            ks = jax.random.split(c)
+            return ks[0], ks[1]
+
+        _, subs = jax.jit(
+            partial(jax.lax.scan, body, xs=None, length=count)
+        )(k0)
+        return np.asarray(subs)
+
+
+# AOT-compiled buffer-copy programs, keyed on (treedef, avals, shardings).
+# An explicit executable cache (vs a plain @jax.jit) lets the prefetch
+# thread compile these from ABSTRACT shapes before first use — the jit
+# call cache cannot be seeded by an AOT compile, and the first-call compile
+# of even this trivial program costs ~5 s over the axon tunnel (r4c paid it
+# at the epoch-200 checkpoint).
+_COPY_EXEC_CACHE: dict = {}
+
+
+def _copy_compiled(tree):
+    leaves, treedef = jax.tree.flatten(tree)
+    key = (treedef,
+           tuple((tuple(l.shape), np.dtype(l.dtype).name,
+                  getattr(l, "sharding", None)) for l in leaves))
+    comp = _COPY_EXEC_CACHE.get(key)
+    if comp is None:
+        comp = jax.jit(
+            lambda t: jax.tree.map(jnp.copy, t)
+        ).lower(tree).compile()
+        _COPY_EXEC_CACHE[key] = comp
+    return comp
+
+
 def _copy_tree(t):
     """Fresh device buffers for every leaf — a snapshot that survives a
-    later donation of the originals (used by async checkpointing)."""
-    return jax.tree.map(jnp.copy, t)
+    later donation of the originals (used by async checkpointing and the
+    deferred logging renders)."""
+    return _copy_compiled(t)(t)
 
 
 def _grid_u8(imgs, rows: int = 3, cols: int = 3):
@@ -992,26 +1083,46 @@ def _grid_u8(imgs, rows: int = 3, cols: int = 3):
     return (jnp.clip(g, 0.0, 1.0) * 255.0).astype(jnp.uint8)
 
 
-# Single background writer for periodic image logs: the device->host pull of
-# the logging grids (~10 MB uint8) rides the tunnel while the NEXT scan
-# segment trains, instead of blocking the epoch loop (round-4 anatomy: the
-# old f32 + host-side-grid path moved ~58 MB and cost seconds per segment).
-# One pending job at a time bounds memory and keeps writes ordered.
-_LOG_WRITER: list = []  # [Thread] — at most one
+# Single background writer for periodic image logs and checkpoint pulls: an
+# ordered job QUEUE drained by one persistent thread. The epoch loop only
+# pays a device-side snapshot per action; the render dispatch (including its
+# FIRST-CALL compile — ~29 s of the r4c protocol's wall, paid at epoch 9),
+# the ~10 MB uint8 grid pull, the JPEG encode, and the checkpoint pickle all
+# ride here. A queue (vs the old one-pending-thread design) means a
+# still-compiling job never blocks the NEXT segment's submit — jobs stay
+# ordered and _flush_log_writer() joins them all before fit_sequence returns.
+_LOG_QUEUE = None  # queue.Queue | None
+_LOG_THREAD = None
 
 
 def _flush_log_writer():
-    while _LOG_WRITER:
-        _LOG_WRITER.pop().join()
+    if _LOG_QUEUE is not None:
+        _LOG_QUEUE.join()
 
 
 def _submit_log_write(fn):
+    global _LOG_QUEUE, _LOG_THREAD
+    import queue
     import threading
 
-    _flush_log_writer()
-    t = threading.Thread(target=fn, daemon=True)
-    t.start()
-    _LOG_WRITER.append(t)
+    if _LOG_THREAD is None or not _LOG_THREAD.is_alive():
+        _LOG_QUEUE = queue.Queue()
+
+        def _drain(q=_LOG_QUEUE):
+            while True:
+                job = q.get()
+                try:
+                    job()
+                except Exception:
+                    import traceback
+
+                    traceback.print_exc()
+                finally:
+                    q.task_done()
+
+        _LOG_THREAD = threading.Thread(target=_drain, daemon=True)
+        _LOG_THREAD.start()
+    _LOG_QUEUE.put(fn)
 
 
 def _log_images(params, aux, data, assets, config, rcfg, out_dir, epoch):
@@ -1049,15 +1160,21 @@ def _log_images(params, aux, data, assets, config, rcfg, out_dir, epoch):
         return render
 
     render = _cached_render("log_images", n, (assets, config, rcfg), build)
-    sil_grid, rgb_grid = render(params, data.masks[:n])  # async dispatch
     sil_path = os.path.join(out_dir, "sil_%04d.jpg" % epoch)
     rgb_path = os.path.join(out_dir, "%04d.jpg" % epoch)
+    # Snapshot the params (the next segment donates the live buffers), then
+    # run the WHOLE render on the writer queue: its first call compiles a
+    # forward-render program whose tunnel compile+load cost ~29 s in r4c —
+    # on the queue that cost delays only the image writes, not training.
+    p_snap = _copy_tree(params)
+    masks_n = data.masks[:n]
 
-    def write():
+    def render_and_write():
+        sil_grid, rgb_grid = render(p_snap, masks_n)
         viz.save_image(np.asarray(sil_grid), sil_path)
         viz.save_image(np.asarray(rgb_grid), rgb_path)
 
-    _submit_log_write(write)
+    _submit_log_write(render_and_write)
 
 
 def _log_val_images(params, val_params, val_data, assets, config, rcfg,
