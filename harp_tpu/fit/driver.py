@@ -733,6 +733,17 @@ def fit_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
                 _copy_compiled((p_abs, s_abs))
             except Exception:
                 pass
+            # The pair-grid logging render: warming it here keeps the
+            # background writer queue from stalling on its first-call
+            # compile (whose drain otherwise lands on the end-of-fit
+            # flush — 27.9 s of the r4d warm protocol tail).
+            if out_dir is not None and image_log_every:
+                try:
+                    n_log = min(9, data.num_frames)
+                    _log_render_compiled(assets, config, rcfg, n_log,
+                                         p_abs, _abs(data.masks[:n_log]))
+                except Exception:
+                    pass
 
         def _run_extra(fn):
             def run():
@@ -987,8 +998,13 @@ def fit_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
         if callback is not None:
             callback(epoch, params, history[-1])
         epoch += 1
-    _flush_log_writer()  # pending async image writes land before we return
+    # Pending async image/checkpoint writes land before we return; the
+    # wait is logged so a writer-queue backlog shows up in the anatomy.
+    _t_fl = _time.perf_counter()
+    _flush_log_writer()
     if logger is not None:
+        logger.log(config.total_epoch,
+                   final_flush_s=_time.perf_counter() - _t_fl)
         logger.close()
     if orbax_ckpt is not None:
         orbax_ckpt.close()
@@ -1015,6 +1031,48 @@ def _cached_render(kind, n, objs, build):
     return fn
 
 
+def _threefry2x32_np(key: np.ndarray, x0: np.ndarray,
+                     x1: np.ndarray) -> tuple:
+    """Threefry-2x32 (20 rounds) in pure numpy, lane-for-lane identical to
+    jax._src.prng.threefry2x32: the standard rotation schedule
+    [13,15,26,6] / [17,29,16,24] alternated over five 4-round groups, with
+    the (k_a, k_b + i) key injection after each group."""
+    u32 = np.uint32
+    rot = ((13, 15, 26, 6), (17, 29, 16, 24))
+    ks = (u32(key[0]), u32(key[1]),
+          u32(key[0]) ^ u32(key[1]) ^ u32(0x1BD11BDA))
+    inject = ((1, 2), (2, 0), (0, 1), (1, 2), (2, 0))
+    x0 = (x0.astype(u32) + ks[0]).astype(u32)
+    x1 = (x1.astype(u32) + ks[1]).astype(u32)
+    with np.errstate(over="ignore"):
+        for i in range(5):
+            for r in rot[i % 2]:
+                x0 = (x0 + x1).astype(u32)
+                x1 = ((x1 << u32(r)) | (x1 >> u32(32 - r))).astype(u32) ^ x0
+            a, b = inject[i]
+            x0 = (x0 + ks[a]).astype(u32)
+            x1 = (x1 + ks[b] + u32(i + 1)).astype(u32)
+    return x0, x1
+
+
+def _key_stream_np(seed: int, count: int) -> np.ndarray:
+    """numpy replica of the `key, sub = jax.random.split(key)` chain from
+    jax.random.PRNGKey(seed) under jax_threefry_partitionable (the jax>=0.4
+    default): split(key)[i] = threefry2x32(key, counter pair (hi=0, lo=i)),
+    so each chain step hashes lanes x=[(0,0),(0,1)] and takes lane 0 as the
+    carried key, lane 1 as the emitted subkey. Parity vs jax is pinned in
+    tests/test_fit_e2e.py::test_key_stream_np_matches_jax."""
+    key = np.array([0, np.uint32(seed & 0xFFFFFFFF)], np.uint32)
+    x0 = np.array([0, 0], np.uint32)
+    x1 = np.array([0, 1], np.uint32)
+    subs = np.empty((count, 2), np.uint32)
+    for i in range(count):
+        y0, y1 = _threefry2x32_np(key, x0, x1)
+        key = np.array([y0[0], y1[0]], np.uint32)
+        subs[i] = (y0[1], y1[1])
+    return subs
+
+
 def _key_stream_host(seed: int, count: int) -> np.ndarray:
     """The fit's per-step PRNG subkeys, computed once on the CPU backend.
 
@@ -1024,8 +1082,16 @@ def _key_stream_host(seed: int, count: int) -> np.ndarray:
     tunnel-compiled scan program per distinct segment length, plus
     start_epoch*steps eager tunnel splits on resume replay. Returns a
     (count, 2) uint32 host array; subs_all[i] == the i-th carried subkey.
+
+    Some containers register ONLY the axon TPU backend (no cpu platform);
+    there the same chain runs as pure-numpy threefry (_key_stream_np,
+    jax-parity pinned) instead of crashing the fit or paying a tunnel
+    scan compile.
     """
-    cpu = jax.devices("cpu")[0]
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        return _key_stream_np(seed, count)
     with jax.default_device(cpu):
         k0 = jax.random.PRNGKey(seed)
 
@@ -1125,23 +1191,17 @@ def _submit_log_write(fn):
     _LOG_QUEUE.put(fn)
 
 
-def _log_images(params, aux, data, assets, config, rcfg, out_dir, epoch):
-    """Silhouette overlay + RGB pair grids for the first frames
-    (reference show_img_pair logging, optimize_sequence.py:490-501).
-
-    The grids are assembled and quantized to uint8 ON DEVICE (the GT halves
-    never change, so only the prediction grids cross the tunnel) and the
-    host pull + JPEG encode run on a background writer thread — the epoch
-    loop only pays the async dispatch."""
-    import os
-    from harp_tpu.utils import viz
-
-    n = min(9, data.num_frames)
+def _log_render_compiled(assets, config, rcfg, n, p_tree, masks_tree):
+    """The AOT-compiled pair-grid render used by _log_images, cached per
+    (assets, config, rcfg, n). Compiling from abstract shapes lets the
+    fit's prefetch lanes warm this executable during stage-1 training —
+    its first-call tunnel compile otherwise blocks the background writer
+    queue, whose drain then lands on the end-of-fit flush (measured 27.9 s
+    of the 276.6 s warm r4d protocol tail)."""
 
     def build():
         fids = jnp.arange(n)
 
-        @jax.jit
         def render(p, masks_n):
             verts, _ = pipeline.mesh_forward(p, fids, assets, config)
             R, T = pipeline.camera_for_frames(p, fids, config)
@@ -1157,17 +1217,40 @@ def _log_images(params, aux, data, assets, config, rcfg, out_dir, epoch):
             )
             return _grid_u8(overlay), _grid_u8(rgb)
 
-        return render
+        def _abs(x):
+            x = x if hasattr(x, "shape") else jnp.asarray(x)
+            return jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                        sharding=getattr(x, "sharding", None))
 
-    render = _cached_render("log_images", n, (assets, config, rcfg), build)
+        return jax.jit(render).lower(
+            jax.tree.map(_abs, p_tree), jax.tree.map(_abs, masks_tree)
+        ).compile()
+
+    return _cached_render("log_images", n, (assets, config, rcfg), build)
+
+
+def _log_images(params, aux, data, assets, config, rcfg, out_dir, epoch):
+    """Silhouette overlay + RGB pair grids for the first frames
+    (reference show_img_pair logging, optimize_sequence.py:490-501).
+
+    The grids are assembled and quantized to uint8 ON DEVICE (the GT halves
+    never change, so only the prediction grids cross the tunnel) and the
+    host pull + JPEG encode run on a background writer thread — the epoch
+    loop only pays the async dispatch."""
+    import os
+    from harp_tpu.utils import viz
+
+    n = min(9, data.num_frames)
     sil_path = os.path.join(out_dir, "sil_%04d.jpg" % epoch)
     rgb_path = os.path.join(out_dir, "%04d.jpg" % epoch)
     # Snapshot the params (the next segment donates the live buffers), then
-    # run the WHOLE render on the writer queue: its first call compiles a
-    # forward-render program whose tunnel compile+load cost ~29 s in r4c —
-    # on the queue that cost delays only the image writes, not training.
+    # run the render on the writer queue. The executable itself is AOT-
+    # compiled and cached (_log_render_compiled) — normally already warm
+    # from the fit's prefetch lanes, so the queue never stalls on a
+    # first-call tunnel compile.
     p_snap = _copy_tree(params)
     masks_n = data.masks[:n]
+    render = _log_render_compiled(assets, config, rcfg, n, p_snap, masks_n)
 
     def render_and_write():
         sil_grid, rgb_grid = render(p_snap, masks_n)

@@ -246,3 +246,16 @@ def test_prefetch_compile_matches_jit_path():
             np.asarray(p_pre[k]), np.asarray(p_jit[k]), rtol=1e-6, atol=1e-7,
             err_msg=f"param {k} diverged under prefetch_compile",
         )
+
+
+def test_key_stream_np_matches_jax():
+    """The pure-numpy threefry split chain (the fallback for containers
+    that register no cpu backend) is bit-identical to the jax CPU chain."""
+    import jax
+    from harp_tpu.fit.driver import _key_stream_host, _key_stream_np
+
+    for seed, count in [(0, 40), (1234567, 17), (42, 602)]:
+        a = _key_stream_host(seed, count)
+        b = _key_stream_np(seed, count)
+        assert a.dtype == np.uint32 and b.dtype == np.uint32
+        assert np.array_equal(a, b), (seed, count)
