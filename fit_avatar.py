@@ -44,6 +44,11 @@ def parse_args():
                    help="per-tile face capacity (default 448, probed for "
                         "reference density; use 256 for light meshes)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--shape-seed", type=int, default=None,
+                   help="synthetic GT identity seed: pass the SAME value to "
+                        "two runs with different --seed to get the same "
+                        "hand under different motions (the known-appearance "
+                        "transfer setting)")
     # Real-data paths (reference directory layout).
     p.add_argument("--metro-output-dir", default="")
     p.add_argument("--image-dir", default="")
@@ -53,7 +58,17 @@ def parse_args():
     p.add_argument("--mano-pkl", default="", help="MANO_RIGHT.pkl path")
     p.add_argument("--smplx-npz", default="", help="SMPLX_NEUTRAL.npz path")
     p.add_argument("--arm-corr", default="template/arm/smplx_arm_corr.pkl")
-    p.add_argument("--turntables", action="store_true")
+    # The reference always renders frame-0 turntable + light-sweep GIFs
+    # (optimize_sequence.py:717-727); they are cheap now that renders are
+    # fused, so protocol runs default them ON.
+    p.add_argument("--turntables", action=argparse.BooleanOptionalAction,
+                   default=True)
+    p.add_argument("--anchor", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="run the fixed container-fingerprint microbench "
+                        "before the fit and record it in fit_summary.json "
+                        "(makes wall-clock numbers comparable across "
+                        "containers; harp_tpu.utils.anchor)")
     p.add_argument("--active-tiles", type=float, default=None,
                    help="raster tile budget fraction; default 0.28 at "
                         ">=256px (occupied tiles measured mean 140 / max "
@@ -201,9 +216,18 @@ def main():
     # --- data ---
     if args.synthetic:
         from harp_tpu.data.synthetic import make_synthetic_sequence
+        from harp_tpu.fit.driver import prewarm_stage1_program
 
+        # The first stage-scan executable's shapes depend only on
+        # (config, assets, n_frames): start its compile NOW so it rides
+        # alongside the synthetic GT generation below instead of serially
+        # heading the fit (cold-cache anatomy: ~40-60 s first-program wait).
+        if not args.mesh_devices:
+            prewarm_stage1_program(config, assets, args.n_frames, rcfg,
+                                   epoch_scan=args.epoch_scan)
         images, masks, masks_er, gt, input_params = make_synthetic_sequence(
-            assets, config, rcfg, n_frames=args.n_frames, seed=args.seed
+            assets, config, rcfg, n_frames=args.n_frames, seed=args.seed,
+            shape_seed=args.shape_seed,
         )
     else:
         from harp_tpu.data.dataset import load_sequences
@@ -279,6 +303,13 @@ def main():
         finally:
             eval_ready.set()
 
+    anchor = {}
+    if args.anchor:
+        from harp_tpu.utils.anchor import container_anchor
+
+        anchor = container_anchor()
+        print("container anchor:", json.dumps(anchor))
+
     with Timer() as t_fit:
         params, history = fit_sequence(
             config, assets, data, params, aux, rcfg=rcfg,
@@ -318,6 +349,7 @@ def main():
             stats.update({f"val {k}": v for k, v in val_stats.items()})
     stats["fit_wall_s"] = round(t_fit.elapsed, 2)
     stats["eval_wall_s"] = round(t_eval.elapsed, 2)
+    stats.update(anchor)
     stats["final_loss"] = history[-1]["loss"] if history else None
     print(json.dumps(stats, indent=2))
     with open(os.path.join(config.base_output_dir, "fit_summary.json"), "w") as f:

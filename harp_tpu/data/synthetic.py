@@ -32,8 +32,17 @@ def erode_mask(mask: jnp.ndarray, iterations: int = 2) -> jnp.ndarray:
 def make_synthetic_sequence(assets: AvatarAssets, config: HarpConfig,
                             rcfg: RasterConfig, n_frames: int = 4,
                             seed: int = 0, perturb: float = 0.15,
-                            cam=(6.0, -0.08, -0.01)):
-    """Returns (images, masks, masks_eroded, gt_params, init_params_dict)."""
+                            cam=(6.0, -0.08, -0.01),
+                            shape_seed: int | None = None):
+    """Returns (images, masks, masks_eroded, gt_params, init_params_dict).
+
+    shape_seed: override the GT hand SHAPE's seed (the texture/normal/light
+    appearance is already seed-independent). Two sequences generated with
+    different `seed` but the same `shape_seed` depict the SAME identity
+    under different motions — the setting the reference's known_appearance
+    test mode assumes (appearance fitted on sequence A transferred frozen
+    to sequence B, optimize_sequence.py:263-272). Applied as an overlay so
+    the base RNG stream (and every existing seeded scene) is unchanged."""
     rng = np.random.RandomState(seed)
     ts = config.texture_size
     V = assets.num_render_verts
@@ -64,6 +73,11 @@ def make_synthetic_sequence(assets: AvatarAssets, config: HarpConfig,
         "light_positions": jnp.asarray(np.tile([-0.5, -0.5, -0.5], (n_frames, 1)), jnp.float32),
         "amb_ratio": jnp.asarray(0.4, jnp.float32),
     }
+
+    if shape_seed is not None:
+        gt["shape"] = jnp.asarray(
+            0.3 * np.random.RandomState(shape_seed).randn(S), jnp.float32
+        )
 
     fids = jnp.arange(n_frames)
 

@@ -14,6 +14,7 @@ Architecture differences from the reference (deliberate, TPU-first):
 from __future__ import annotations
 
 import dataclasses
+import threading
 from functools import partial
 
 import jax
@@ -389,6 +390,131 @@ def make_epoch_scan(assets: AvatarAssets, config: HarpConfig, rcfg: RasterConfig
     return run_epochs
 
 
+# Stage-1 scan programs compiled BEFORE the sequence data exists (keyed on
+# the fabricated aval signature): on a cold cache the first stage scan is
+# the fit's longest serial compile wait (~40-60 s), yet its shapes are fully
+# determined by (config, assets, n_frames) — so fit_avatar starts this
+# compile while synthetic GT generation / dataset loading still runs.
+# Entries: key -> [threading.Event, Compiled | None].
+_PREWARM: dict = {}
+_PREWARM_HITS: list = []  # keys actually consumed by a fit (test/telemetry)
+
+
+def _prewarm_scan_key(config, assets, rcfg, flags, aval_tuple, vgg, extras):
+    vsig = (None if vgg is None else
+            (vgg.source, vgg.compute_dtype, tuple(vgg.layers_weights)))
+    return ("scan", flags, id(assets), config, rcfg,
+            _tree_sig(aval_tuple, include_sharding=False), vsig,
+            id(extras) if extras else None)
+
+
+def _prewarm_take(key):
+    """The prewarmed Compiled for `key`, waiting out an in-flight build;
+    None on miss or failed build."""
+    ent = _PREWARM.get(key)
+    if ent is None:
+        return None
+    ent[0].wait()
+    if ent[1] is not None:
+        _PREWARM_HITS.append(key)
+    return ent[1]
+
+
+def _fit_avals(config: HarpConfig, assets: AvatarAssets, n_frames: int):
+    """Abstract shapes of (params, aux) exactly as init_params would build
+    them (pinned by tests/test_fit_e2e.py::test_prewarm_avals_match) — the
+    prewarm path cannot call init_params itself: eagerly creating a dozen
+    arrays over the axon tunnel costs seconds, and the data the real call
+    needs does not exist yet."""
+    n, V, ts = n_frames, assets.num_render_verts, config.texture_size
+    f32 = jnp.float32
+    sds = lambda sh, dt=f32: jax.ShapeDtypeStruct(sh, dt)
+    p_abs = {
+        "trans": sds((n, 3)), "pose": sds((n, 45)), "rot": sds((n, 3)),
+        "shape": sds((10,)), "wrist_pose": sds((n, 3)), "cam": sds((n, 3)),
+        "verts_disps": sds((V, 1 if config.vert_disp_normals else 3)),
+        "texture": sds((ts, ts, 3)), "normal_map": sds((ts, ts, 3)),
+        "light_positions": sds((n, 3)), "amb_ratio": sds(()),
+    }
+    if config.model_type == "html":
+        p_abs["html_texture"] = sds((101,))
+    aux_abs = {"init_joints": sds((n, 21, 3)), "uv_mask": sds((ts, ts))}
+    return p_abs, aux_abs
+
+
+def prewarm_stage1_program(config: HarpConfig, assets: AvatarAssets,
+                           n_frames: int, rcfg: RasterConfig | None = None,
+                           *, epoch_scan: int = 10, extras: dict | None = None):
+    """Start AOT-compiling the protocol's FIRST stage-scan executable in a
+    daemon thread, before the sequence data exists. fit_sequence's prefetch
+    lane picks the Compiled out of _PREWARM (matching on the full abstract
+    signature) instead of compiling it again; on any mismatch it falls
+    through to its own compile — the prewarm can only ever waste its own
+    thread, never change results. Single-device only (a mesh run's sharded
+    lowering differs). Returns the Thread, or None when inapplicable."""
+    if not epoch_scan or epoch_scan <= 1:
+        return None
+    from harp_tpu.fit.optimizer import build_txs
+    import threading as _threading
+
+    rcfg = rcfg or config.raster_config()
+    flags = stage_flags(0, config)
+    p_abs, aux_abs = _fit_avals(config, assets, n_frames)
+    vgg = None
+    if config.w_vgg > 0:
+        vgg = Vgg16Features.create(weights_path=config.vgg_weights or None,
+                                   compute_dtype=config.vgg_compute_dtype)
+        aux_abs["vgg_params"] = tuple(
+            (jax.ShapeDtypeStruct(w.shape, jnp.float32),
+             jax.ShapeDtypeStruct(b.shape, jnp.float32))
+            for (w, b) in vgg.params
+        )
+    txs, _ = build_txs(p_abs, config)
+    s_abs = {g: jax.eval_shape(txs[g].init, p_abs) for g in txs}
+    rv_abs = jax.eval_shape(
+        lambda p: pipeline.mesh_forward(p, jnp.asarray([0]), assets,
+                                        config)[0][0], p_abs
+    )
+    H = config.img_size
+    f32 = jnp.float32
+    sds = jax.ShapeDtypeStruct
+    seq_img = sds((n_frames, H, H, 3), f32)
+    seq_msk = sds((n_frames, H, H), f32)
+    seq_mer = sds((n_frames, H, H), f32)
+    bs = min(config.batch_size, n_frames)
+    steps = max(n_frames // bs, 1)
+    fids_es = sds((epoch_scan, steps, bs), jnp.int32)
+    keys_es = sds((epoch_scan, steps, 2), jnp.uint32)
+    f32s, i32s = sds((), f32), sds((), jnp.int32)
+    aval_tuple = (p_abs, s_abs, aux_abs, seq_img, seq_msk, seq_mer,
+                  fids_es, keys_es, rv_abs)
+    key = _prewarm_scan_key(config, assets, rcfg, flags, aval_tuple, vgg,
+                            extras)
+    if key in _PREWARM:
+        return None
+    ent = [_threading.Event(), None]
+    _PREWARM[key] = ent
+
+    scan_fn = make_epoch_scan(assets, config, rcfg, vgg, txs, extras)
+    c_on, a_on = flags
+
+    def work():
+        try:
+            ent[1] = scan_fn.lower(
+                p_abs, s_abs, aux_abs, seq_img, seq_msk, seq_mer,
+                fids_es, keys_es, rv_abs, (f32s, i32s, f32s), i32s,
+                coarse_on=c_on, app_on=a_on,
+            ).compile()
+        except Exception:
+            ent[1] = None
+        finally:
+            ent[0].set()
+
+    th = _threading.Thread(target=work, daemon=True)
+    th.start()
+    return th
+
+
 def fit_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
                  params: dict, aux: dict, rcfg: RasterConfig | None = None,
                  vgg: Vgg16Features | None = None, seed: int = 0,
@@ -694,6 +820,19 @@ def fit_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
             kind, (c_on, a_on) = k
             try:
                 aux_k = _aux_abs_for(a_on)
+                if kind == "scan" and fsh is None:
+                    # A prewarm (prewarm_stage1_program) may already be
+                    # compiling this exact program — started before the
+                    # data existed. Full-signature match or fall through.
+                    pre = _prewarm_take(_prewarm_scan_key(
+                        config, assets, rcfg, (c_on, a_on),
+                        (p_abs, s_abs, aux_k, seq_img_abs, seq_msk_abs,
+                         seq_mer_abs, fids_es_abs, keys_es_abs, rv_abs),
+                        vgg, extras,
+                    ))
+                    if pre is not None:
+                        _programs[k] = pre
+                        return
                 if kind == "scan":
                     low = scan_fn.lower(
                         p_abs, s_abs, aux_k, seq_img_abs, seq_msk_abs,
@@ -1018,17 +1157,65 @@ def fit_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
 # each time — the round-3 448^2 protocol runs crashed the TPU worker out of
 # HBM at epoch ~191 after ~19 such raster programs had accumulated. Entries
 # hold strong refs to the captured objects so id()-reuse cannot alias.
+# Builds are serialized per key (threading.Event): the fit's prefetch lanes
+# warm the log_images executable concurrently with the epoch loop / writer
+# thread, and an unguarded miss would compile AND load a duplicate raster
+# program — the accumulation mode described above.
 _LOG_RENDER_CACHE: dict = {}
+_LOG_RENDER_LOCK = threading.Lock()
+_LOG_RENDER_BUILDING: dict = {}  # key -> threading.Event
 
 
-def _cached_render(kind, n, objs, build):
-    key = (kind, n) + tuple(id(o) for o in objs)
-    hit = _LOG_RENDER_CACHE.get(key)
-    if hit is not None and all(a is b for a, b in zip(hit[0], objs)):
-        return hit[1]
-    fn = build()
-    _LOG_RENDER_CACHE[key] = (objs, fn)
-    return fn
+def _cached_render(kind, n, objs, build, extra_key=()):
+    key = (kind, n) + tuple(id(o) for o in objs) + tuple(extra_key)
+    while True:
+        with _LOG_RENDER_LOCK:
+            hit = _LOG_RENDER_CACHE.get(key)
+            if hit is not None and all(a is b for a, b in zip(hit[0], objs)):
+                return hit[1]
+            ev = _LOG_RENDER_BUILDING.get(key)
+            if ev is None:
+                ev = threading.Event()
+                _LOG_RENDER_BUILDING[key] = ev
+                is_builder = True
+            else:
+                is_builder = False
+        if is_builder:
+            try:
+                fn = build()
+                with _LOG_RENDER_LOCK:
+                    _LOG_RENDER_CACHE[key] = (objs, fn)
+                return fn
+            finally:
+                with _LOG_RENDER_LOCK:
+                    del _LOG_RENDER_BUILDING[key]
+                ev.set()
+        else:
+            # Another thread is building this key: wait, then re-check the
+            # cache (if its build raised, the next loop iteration retries
+            # as the builder instead of returning a missing entry).
+            ev.wait()
+
+
+def _tree_sig(tree, include_sharding: bool = True):
+    """Hashable signature of a pytree's leaf avals + shardings — part of
+    the AOT-render cache key, since the Compiled is specialized on them
+    (a second fit in the same process with the same assets/config ids but
+    different image resolution or param shapes must not reuse it).
+
+    include_sharding=False drops the sharding column: the stage-1 prewarm
+    fabricates avals before arrays exist (sharding None), while the live
+    fit's avals carry SingleDeviceSharding — equivalent programs on one
+    device, so the single-device prewarm key must not distinguish them."""
+    sig = []
+    for leaf in jax.tree.leaves(tree):
+        leaf = leaf if hasattr(leaf, "shape") else jnp.asarray(leaf)
+        cols = (tuple(leaf.shape), str(leaf.dtype))
+        if include_sharding:
+            sh = getattr(leaf, "sharding", None)
+            cols += (None if sh is None else str(sh),)
+        sig.append(cols)
+    return tuple(sig)
 
 
 def _threefry2x32_np(key: np.ndarray, x0: np.ndarray,
@@ -1061,7 +1248,28 @@ def _key_stream_np(seed: int, count: int) -> np.ndarray:
     default): split(key)[i] = threefry2x32(key, counter pair (hi=0, lo=i)),
     so each chain step hashes lanes x=[(0,0),(0,1)] and takes lane 0 as the
     carried key, lane 1 as the emitted subkey. Parity vs jax is pinned in
-    tests/test_fit_e2e.py::test_key_stream_np_matches_jax."""
+    tests/test_fit_e2e.py::test_key_stream_np_matches_jax.
+
+    The replica hard-codes those partitionable-split semantics and a zero
+    high seed word; running it under a different runtime config would
+    silently produce a DIFFERENT stream than the jax CPU chain (breaking
+    cross-container bit-determinism), so both preconditions are asserted
+    loudly instead."""
+    if not jax.config.jax_threefry_partitionable:
+        raise RuntimeError(
+            "_key_stream_np replicates jax_threefry_partitionable split "
+            "semantics, but the runtime has jax_threefry_partitionable=False "
+            "(e.g. JAX_THREEFRY_PARTITIONABLE=0): the fallback stream would "
+            "silently diverge from the jax chain. Re-enable the flag or run "
+            "in a container with a CPU backend."
+        )
+    if not 0 <= int(seed) < 2**32:
+        raise RuntimeError(
+            f"_key_stream_np zeroes the high seed word (seed={seed!r} needs "
+            ">32 bits, only representable under x64 PRNGKey): the fallback "
+            "stream would silently diverge from the jax chain. Use a seed "
+            "in [0, 2**32)."
+        )
     key = np.array([0, np.uint32(seed & 0xFFFFFFFF)], np.uint32)
     x0 = np.array([0, 0], np.uint32)
     x1 = np.array([0, 1], np.uint32)
@@ -1226,7 +1434,12 @@ def _log_render_compiled(assets, config, rcfg, n, p_tree, masks_tree):
             jax.tree.map(_abs, p_tree), jax.tree.map(_abs, masks_tree)
         ).compile()
 
-    return _cached_render("log_images", n, (assets, config, rcfg), build)
+    # The avals+shardings ride in the key: the returned Compiled is AOT-
+    # specialized on them, and a second fit in this process with the same
+    # assets/config ids but different shapes must get its own executable
+    # (a stale one raises on input mismatch inside the writer thread).
+    return _cached_render("log_images", n, (assets, config, rcfg), build,
+                          extra_key=_tree_sig((p_tree, masks_tree)))
 
 
 def _log_images(params, aux, data, assets, config, rcfg, out_dir, epoch):
@@ -1244,15 +1457,15 @@ def _log_images(params, aux, data, assets, config, rcfg, out_dir, epoch):
     sil_path = os.path.join(out_dir, "sil_%04d.jpg" % epoch)
     rgb_path = os.path.join(out_dir, "%04d.jpg" % epoch)
     # Snapshot the params (the next segment donates the live buffers), then
-    # run the render on the writer queue. The executable itself is AOT-
-    # compiled and cached (_log_render_compiled) — normally already warm
-    # from the fit's prefetch lanes, so the queue never stalls on a
-    # first-call tunnel compile.
+    # resolve the executable AND run the render on the writer queue: the
+    # cache lookup normally hits (the fit's prefetch lanes warm it), but on
+    # a cold or still-compiling cache the ~28 s tunnel compile must block
+    # the writer thread, never the epoch loop.
     p_snap = _copy_tree(params)
     masks_n = data.masks[:n]
-    render = _log_render_compiled(assets, config, rcfg, n, p_snap, masks_n)
 
     def render_and_write():
+        render = _log_render_compiled(assets, config, rcfg, n, p_snap, masks_n)
         sil_grid, rgb_grid = render(p_snap, masks_n)
         viz.save_image(np.asarray(sil_grid), sil_path)
         viz.save_image(np.asarray(rgb_grid), rgb_path)

@@ -47,23 +47,31 @@ def _mask_for(params: dict, names) -> dict:
     return {k: (k in names) for k in params}
 
 
-def build_optimizers(params: dict, config: HarpConfig):
-    """Returns ({group: optax tx}, {group: state}, {group: mask})."""
+def build_txs(params: dict, config: HarpConfig):
+    """The grouped transforms + masks, WITHOUT initializing state — usable
+    with abstract params (ShapeDtypeStruct leaves), since only the key set
+    is read. The stage-1 program prewarm (driver.prewarm_stage1_program)
+    builds its lowering from these before any real arrays exist."""
     groups = group_param_names(config)
     lrs = {"coarse": config.lr_pose, "app": config.lr_app}
-    txs, states, masks = {}, {}, {}
+    txs, masks = {}, {}
     for g, names in groups.items():
         mask = _mask_for(params, names)
         inv_mask = {k: not v for k, v in mask.items()}
         # optax.masked leaves masked-OUT updates untouched (raw gradients!),
         # so explicitly zero them with a second masked set_to_zero.
-        tx = optax.chain(
+        txs[g] = optax.chain(
             optax.masked(optax.adam(lrs[g]), mask),
             optax.masked(optax.set_to_zero(), inv_mask),
         )
-        txs[g] = tx
-        states[g] = tx.init(params)
         masks[g] = mask
+    return txs, masks
+
+
+def build_optimizers(params: dict, config: HarpConfig):
+    """Returns ({group: optax tx}, {group: state}, {group: mask})."""
+    txs, masks = build_txs(params, config)
+    states = {g: txs[g].init(params) for g in txs}
     return txs, states, masks
 
 

@@ -164,6 +164,102 @@ def test_reference_exact_preset_fit():
     assert all(h[k] == 0 for h in history for k in h if k.endswith("overflow"))
 
 
+def test_prewarm_avals_match_init_params():
+    """driver._fit_avals fabricates the (params, aux) avals the stage-1
+    prewarm lowers against WITHOUT calling init_params (no data exists yet,
+    and eager array creation over the axon tunnel costs seconds). Its
+    shapes must track init_params exactly or the prewarm silently misses."""
+    import jax
+    from harp_tpu.fit import driver
+
+    config = HarpConfig(img_size=64, focal_length=285.0, texture_size=64,
+                        self_shadow=False, total_epoch=2,
+                        training_stage=(1, 1, 0), batch_size=2, w_vgg=0.0)
+    images, masks, masks_er, gt, init = make_synthetic_sequence(
+        ASSETS, config, RCFG, n_frames=3, seed=0
+    )
+    params, aux = init_params(init, ASSETS, config)
+    p_abs, aux_abs = driver._fit_avals(config, ASSETS, 3)
+
+    real_p = jax.tree.map(lambda x: (tuple(x.shape), str(x.dtype)), params)
+    fab_p = jax.tree.map(lambda x: (tuple(x.shape), str(x.dtype)), p_abs)
+    assert real_p == fab_p
+    real_a = jax.tree.map(lambda x: (tuple(x.shape), str(x.dtype)), aux)
+    fab_a = jax.tree.map(lambda x: (tuple(x.shape), str(x.dtype)), aux_abs)
+    assert real_a == fab_a
+
+
+def test_prewarm_stage1_program_is_used_and_exact():
+    """prewarm_stage1_program compiles the first stage scan before data
+    exists; fit_sequence must consume that executable (PREWARM hit) and
+    produce bit-identical results to an unprewarmed fit."""
+    from harp_tpu.fit import driver
+
+    config = HarpConfig(img_size=64, focal_length=285.0, texture_size=64,
+                        self_shadow=False, total_epoch=4,
+                        training_stage=(4, 0, 0), batch_size=2, w_vgg=0.0)
+    images, masks, masks_er, gt, init = make_synthetic_sequence(
+        ASSETS, config, RCFG, n_frames=4, seed=9, perturb=0.2
+    )
+    data = FitData(images=images, masks=masks, masks_eroded=masks_er)
+
+    # Baseline fit (no prewarm entry for this config yet).
+    params, aux = init_params(init, ASSETS, config)
+    p_ref, h_ref = fit_sequence(config, ASSETS, data, params, aux, rcfg=RCFG,
+                                epoch_scan=2)
+
+    th = driver.prewarm_stage1_program(config, ASSETS, 4, RCFG, epoch_scan=2)
+    assert th is not None
+    th.join(timeout=300)
+    hits_before = len(driver._PREWARM_HITS)
+    params2, aux2 = init_params(init, ASSETS, config)
+    p_pre, h_pre = fit_sequence(config, ASSETS, data, params2, aux2,
+                                rcfg=RCFG, epoch_scan=2)
+    assert len(driver._PREWARM_HITS) > hits_before, "prewarm not consumed"
+    assert [h["loss"] for h in h_pre] == [h["loss"] for h in h_ref]
+    np.testing.assert_array_equal(np.asarray(p_pre["pose"]),
+                                  np.asarray(p_ref["pose"]))
+
+
+def test_long_sequence_vgg_cache_off_matches_cached():
+    """Long sequences trip the GT-VGG cache guard (vgg_cache_max_frames=48,
+    config.py — real reference sequences are 100-500 frames,
+    data_util.py:76-195) and run the cache-OFF path: both VGG pyramids live
+    every step. 64 frames exercises that regime end to end on CPU, and the
+    trajectory must match a forced-cache fit on the same data bit-for-bit
+    in f32 (the cache is an exactness-preserving optimization; the store
+    dtype follows vgg_compute_dtype, so f32 compute caches f32 features)."""
+    import dataclasses as dc
+
+    config = HarpConfig(
+        img_size=48, focal_length=214.0, texture_size=64, self_shadow=False,
+        total_epoch=2, training_stage=(1, 1, 0), batch_size=8, w_vgg=1.0,
+        vgg_compute_dtype="float32",
+    )
+    n_frames = 64
+    assert n_frames > config.vgg_cache_max_frames  # the guard must fire
+    rcfg = dataclasses.replace(RCFG, image_size=48)
+    images, masks, masks_er, gt, init = make_synthetic_sequence(
+        ASSETS, config, rcfg, n_frames=n_frames, seed=7, perturb=0.1
+    )
+    data = FitData(images=images, masks=masks, masks_eroded=masks_er)
+
+    params, aux = init_params(init, ASSETS, config)
+    params_off, hist_off = fit_sequence(config, ASSETS, data, params, aux,
+                                        rcfg=rcfg)
+
+    config_on = dc.replace(config, vgg_cache_max_frames=128)
+    params2, aux2 = init_params(init, ASSETS, config_on)
+    params_on, hist_on = fit_sequence(config_on, ASSETS, data, params2, aux2,
+                                      rcfg=rcfg)
+
+    assert np.isfinite(hist_off[-1]["loss"])
+    np.testing.assert_allclose(hist_off[-1]["loss"], hist_on[-1]["loss"],
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(params_off["texture"]),
+                               np.asarray(params_on["texture"]), atol=1e-6)
+
+
 def test_epoch_scan_matches_python_loop():
     """fit_sequence(epoch_scan=3) — whole epoch segments fused into one
     lax.scan dispatch — must reproduce the per-step Python loop: same loss
