@@ -190,7 +190,15 @@ class HarpConfig:
         The tile cap stays at its probed-with-headroom default: it is an
         exactness-preserving buffer bound (overflow is loud), not a
         semantic deviation. Cost vs the fast path is quantified in
-        RESULTS.md (round 4 A/B table).
+        RESULTS.md (round 5: "Reference-exact vs fast path" A/B table —
+        same-container 301-epoch protocol runs of both presets).
+
+        Note on HBM: at 448²/B18 the exact preset's stage-1 program needs
+        16.2 GiB of temps with active_fraction=1.0 — more than one v5e
+        chip. The measured protocol run overrides active_fraction to 0.5
+        (exactness-preserving: the budget only bounds buffer sizes and
+        overflow counters are checked), which brings stage temps to
+        3.1/8.7/8.8 GiB.
         """
         kw = dict(
             shadow_map_scale=1.0,

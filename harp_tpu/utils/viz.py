@@ -98,73 +98,98 @@ def _rotate_about_center(verts, axis: str, degrees: float):
 
 
 def render_360(params, fid, assets, config, rcfg, out_dir: str,
-               render_normal: bool = False, use_shadow: bool = False) -> str:
+               render_normal: bool = False, use_shadow: bool = False,
+               views_per_axis: int = 36) -> str:
     """Turntable render: 36 x 10-degree Y-rotations then X-rotations
-    (reference visualize.py:145-196), saved as jpgs + gif."""
+    (reference visualize.py:145-196), saved as jpgs + gif.
+
+    One scanned device program: the per-view loop used to issue 72
+    sequential B=1 render dispatches, each with a host sync + f32 image
+    pull over the tunnel (~0.4 s/view on axon — the whole turntable pass
+    dominated the fused eval by ~80 s). The rotation is a scan carry, the
+    72 views quantize to uint8 on device, and ONE transfer brings back the
+    (72, H, W, 3) stack for host-side jpg/gif encode."""
     import jax
 
     sub = "render_360_normal" if render_normal else "render_360"
     out = os.path.join(out_dir, sub)
     os.makedirs(out, exist_ok=True)
     fids = jnp.asarray([fid])
-    verts, _ = jax.jit(
-        lambda p: pipeline.mesh_forward(p, fids, assets, config)
-    )(params)
-    R, T = pipeline.camera_for_frames(params, fids, config)
     light = params["light_positions"][fids]
 
     @jax.jit
-    def step(verts, axis_idx):
-        v = jax.lax.cond(
-            axis_idx == 0,
-            lambda v: _rotate_about_center(v, "Y", 10.0),
-            lambda v: _rotate_about_center(v, "X", 10.0),
-            verts,
-        )
-        if render_normal:
-            img = pipeline.render_normal(v, assets, R, T, config, rcfg)
-        else:
-            img = pipeline.render_rgb(
-                v, assets, R, T, config, rcfg, params["texture"],
-                params["normal_map"], light,
-            )
-        return v, img
+    def sweep(params):
+        verts, _ = pipeline.mesh_forward(params, fids, assets, config)
+        R, T = pipeline.camera_for_frames(params, fids, config)
 
-    idx = 0
-    for ai, axis in enumerate(("Y", "X")):
-        for _ in range(36):
-            verts, img = step(verts, jnp.asarray(ai))
-            prefix = "" if axis == "Y" else "h_"
-            save_image(np.asarray(img)[0], os.path.join(out, f"{prefix}{idx % 36:04d}.jpg"))
-            idx += 1
+        deg = 360.0 / views_per_axis
+
+        def step(v, axis_idx):
+            v = jax.lax.cond(
+                axis_idx == 0,
+                lambda v: _rotate_about_center(v, "Y", deg),
+                lambda v: _rotate_about_center(v, "X", deg),
+                v,
+            )
+            if render_normal:
+                img = pipeline.render_normal(v, assets, R, T, config, rcfg)
+            else:
+                img = pipeline.render_rgb(
+                    v, assets, R, T, config, rcfg, params["texture"],
+                    params["normal_map"], light,
+                )
+            return v, (jnp.clip(img[0], 0, 1) * 255).astype(jnp.uint8)
+
+        axes = jnp.concatenate(
+            [jnp.zeros(views_per_axis, jnp.int32),
+             jnp.ones(views_per_axis, jnp.int32)]
+        )
+        _, imgs = jax.lax.scan(step, verts, axes)
+        return imgs
+
+    imgs = np.asarray(sweep(params))  # single host transfer, uint8
+    for idx in range(2 * views_per_axis):
+        prefix = "" if idx < views_per_axis else "h_"
+        save_image(imgs[idx],
+                   os.path.join(out, f"{prefix}{idx % views_per_axis:04d}.jpg"))
     save_gif(out, os.path.join(out, "out.gif"))
     return out
 
 
 def render_360_light(params, fid, assets, config, rcfg, out_dir: str,
                      num: int = 40, z_range=(-5.0, 5.0)) -> str:
-    """Light-position sweep (reference visualize.py:199-228)."""
+    """Light-position sweep (reference visualize.py:199-228). Scanned into
+    one device program with device-side uint8 quantization — see
+    render_360 for why (tunnel round-trips dominated)."""
     import jax
 
     out = os.path.join(out_dir, "render_360_light")
     os.makedirs(out, exist_ok=True)
     fids = jnp.asarray([fid])
-    verts, _ = jax.jit(
-        lambda p: pipeline.mesh_forward(p, fids, assets, config)
-    )(params)
-    R, T = pipeline.camera_for_frames(params, fids, config)
+    zs = jnp.asarray(
+        [z_range[0] + (z_range[1] - z_range[0]) / num * i for i in range(num)],
+        jnp.float32,
+    )
 
     @jax.jit
-    def render_with_light(light):
-        return pipeline.render_rgb(
-            verts, assets, R, T, config, rcfg, params["texture"],
-            params["normal_map"], light,
-        )
+    def sweep(params):
+        verts, _ = pipeline.mesh_forward(params, fids, assets, config)
+        R, T = pipeline.camera_for_frames(params, fids, config)
 
+        def step(_, z):
+            light = jnp.stack([jnp.ones(()), jnp.ones(()), z])[None]
+            img = pipeline.render_rgb(
+                verts, assets, R, T, config, rcfg, params["texture"],
+                params["normal_map"], light,
+            )
+            return _, (jnp.clip(img[0], 0, 1) * 255).astype(jnp.uint8)
+
+        _, imgs = jax.lax.scan(step, 0, zs)
+        return imgs
+
+    imgs = np.asarray(sweep(params))  # single host transfer, uint8
     for i in range(num):
-        z = z_range[0] + (z_range[1] - z_range[0]) / num * i
-        img = render_with_light(jnp.asarray([[1.0, 1.0, z]], jnp.float32))
-        save_image(np.asarray(img)[0], os.path.join(out, f"{i:04d}.jpg"))
+        save_image(imgs[i], os.path.join(out, f"{i:04d}.jpg"))
     save_gif(out, os.path.join(out, "out.gif"))
     return out
 

@@ -114,3 +114,39 @@ def test_viz_outputs(tmp_path):
         viz.save_image(img, str(tmp_path / "seq" / f"{i:04d}.jpg"))
     viz.save_gif(str(tmp_path / "seq"), str(tmp_path / "seq" / "out.gif"))
     assert os.path.exists(tmp_path / "seq" / "out.gif")
+
+
+def test_render_360_scanned(tmp_path):
+    """The turntable + light sweeps run as ONE scanned device program each
+    (72 sequential B=1 dispatches used to cost ~80 s over the axon tunnel)
+    and write the reference's output contract: per-view jpgs + out.gif
+    (visualize.py:145-228)."""
+    from harp_tpu.assets import build_synthetic_assets
+    from harp_tpu.config import HarpConfig
+    from harp_tpu.data.synthetic import make_synthetic_sequence
+    from harp_tpu.render.rasterizer import RasterConfig
+
+    assets = build_synthetic_assets(uv_size=64)
+    rcfg = RasterConfig(image_size=64, tile=8, cap=256, bin_chunk=16,
+                        tile_chunk=8, face_chunk=64, faces_per_pixel=8)
+    config = HarpConfig(img_size=64, focal_length=285.0, texture_size=64,
+                        self_shadow=False, base_output_dir=str(tmp_path))
+    _, _, _, gt, _ = make_synthetic_sequence(assets, config, rcfg,
+                                             n_frames=1, seed=0)
+    out = viz.render_360(gt, 0, assets, config, rcfg, str(tmp_path),
+                         views_per_axis=3)
+    files = sorted(os.listdir(out))
+    # 3 Y-views, 3 X-views (h_ prefix), one gif.
+    assert files == ["0000.jpg", "0001.jpg", "0002.jpg", "h_0000.jpg",
+                     "h_0001.jpg", "h_0002.jpg", "out.gif"]
+    # Views must actually differ (the rotation carry advances).
+    from PIL import Image
+    a = np.asarray(Image.open(os.path.join(out, "0000.jpg")))
+    b = np.asarray(Image.open(os.path.join(out, "0001.jpg")))
+    assert a.shape == (64, 64, 3) and not np.array_equal(a, b)
+    assert a.max() > 0  # something rendered
+
+    out_l = viz.render_360_light(gt, 0, assets, config, rcfg, str(tmp_path),
+                                 num=2)
+    files_l = sorted(os.listdir(out_l))
+    assert files_l == ["0000.jpg", "0001.jpg", "out.gif"]
