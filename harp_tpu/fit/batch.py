@@ -65,8 +65,20 @@ def make_batch_train_step(assets: AvatarAssets, config: HarpConfig,
     """Vmapped-over-sequences train step (one jit).
 
     The per-sequence step is driver._grad_step — the same definition the
-    single-sequence fit uses, so the batch path cannot drift."""
+    single-sequence fit uses, so the batch path cannot drift.
+
+    Backends: the Mosaic kernels (fused raster, PCF-grad one-hot) FAULT
+    the TPU when batching-lifted by this vmap (the pallas_call batching
+    rule prepends a grid dim the PrefetchScalarGridSpec index maps don't
+    expect — measured: S=1 runs, S=2 kernel-faults at 6.2 GiB, far from
+    HBM limits). The batch path therefore pins the XLA tile-pass/scatter
+    backends, which are bit-exact vs the kernels (test_pallas_raster.py,
+    test_shading.py) and vmap cleanly; folding S into the frame batch to
+    recover the kernels is a known future rework."""
     from harp_tpu.fit.driver import _grad_step
+
+    rcfg = dataclasses.replace(rcfg, backend="xla")
+    config = dataclasses.replace(config, pcf_backend="xla")
 
     @partial(jax.jit, static_argnames=("coarse_on", "app_on"), donate_argnums=(0, 1))
     def batch_step(params_S, opt_states_S, aux_S, fids_S, imgs_S, m_S, me_S,
