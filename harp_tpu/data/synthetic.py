@@ -79,21 +79,41 @@ def make_synthetic_sequence(assets: AvatarAssets, config: HarpConfig,
             0.3 * np.random.RandomState(shape_seed).randn(S), jnp.float32
         )
 
-    fids = jnp.arange(n_frames)
-
     # One jitted program for the whole GT render: eager op-by-op dispatch is
-    # extremely slow on remote-compile backends.
-    @jax.jit
-    def _render_gt(gt):
+    # extremely slow on remote-compile backends. Long sequences render as
+    # chunks of a lax.map so they stay inside HBM (an unchunked 150-frame
+    # 448² GT render needs 18.75 GiB of temps — compile-time OOM on v5e).
+    # Sequences <= 48 frames keep the original single-batch program so
+    # every previously measured GT stays bit-identical (the protocol
+    # determinism lineage pins on it); chunking is mathematically a no-op
+    # (frames are independent) but XLA may tile reductions differently.
+    def _render_frames(gt, fids):
         verts, joints = pipeline.mesh_forward(gt, fids, assets, config)
         R, T = pipeline.camera_for_frames(gt, fids, config)
         alpha = pipeline.render_silhouette(verts, assets, R, T, config, rcfg)
         images = pipeline.render_rgb(
-            verts, assets, R, T, config, rcfg, gt["texture"], gt["normal_map"],
-            gt["light_positions"],
+            verts, assets, R, T, config, rcfg, gt["texture"],
+            gt["normal_map"], gt["light_positions"][fids],
         )
         masks = (alpha > 0.5).astype(jnp.float32)
         return joints, images, masks, erode_mask(masks)
+
+    if n_frames <= 48:
+        fids = jnp.arange(n_frames)
+        _render_gt = jax.jit(lambda gt: _render_frames(gt, fids))
+    else:
+        chunk = 16
+        pad = (-n_frames) % chunk
+        fids_pad = jnp.concatenate([jnp.arange(n_frames),
+                                    jnp.zeros((pad,), jnp.int32)])
+
+        @jax.jit
+        def _render_gt(gt):
+            out = jax.lax.map(lambda f: _render_frames(gt, f),
+                              fids_pad.reshape(-1, chunk))
+            return jax.tree.map(
+                lambda x: x.reshape((-1,) + x.shape[2:])[:n_frames], out
+            )
 
     joints, images, masks, masks_eroded = _render_gt(gt)
 
