@@ -216,15 +216,21 @@ def main():
     # --- data ---
     if args.synthetic:
         from harp_tpu.data.synthetic import make_synthetic_sequence
-        from harp_tpu.fit.driver import prewarm_stage1_program
+        from harp_tpu.fit.driver import prewarm_stage_programs
 
-        # The first stage-scan executable's shapes depend only on
-        # (config, assets, n_frames): start its compile NOW so it rides
+        # The stage-scan executables' shapes depend only on
+        # (config, assets, n_frames): start their compiles NOW so they ride
         # alongside the synthetic GT generation below instead of serially
-        # heading the fit (cold-cache anatomy: ~40-60 s first-program wait).
+        # heading the fit. Both distinct programs prewarm — stage 1
+        # (cold-cache anatomy: ~40-60 s first-program wait) AND the shared
+        # app-stage scan, whose ~86 s compile stage 1 is too short to cover
+        # (r5 cold anatomy: a 61.8 s wait at the stage-2 boundary).
         if not args.mesh_devices:
-            prewarm_stage1_program(config, assets, args.n_frames, rcfg,
-                                   epoch_scan=args.epoch_scan)
+            prewarm_stage_programs(
+                config, assets, args.n_frames, rcfg,
+                epoch_scan=args.epoch_scan,
+                stage_epochs=(0, config.training_stage[0]),
+            )
         images, masks, masks_er, gt, input_params = make_synthetic_sequence(
             assets, config, rcfg, n_frames=args.n_frames, seed=args.seed,
             shape_seed=args.shape_seed,
@@ -310,12 +316,29 @@ def main():
         anchor = container_anchor()
         print("container anchor:", json.dumps(anchor))
 
+    prefetch_extra = [_compile_eval]
+    if args.turntables:
+        from harp_tpu.utils import viz as _viz
+
+        # Warm the three turntable/light-sweep programs on the prefetch
+        # lanes with a COPY of the initial params (shapes are all that
+        # matter; the rendered views are discarded) so the post-fit eval
+        # hits a warm jit cache instead of paying ~60-90 s of serial
+        # compiles. The copy matters: the fit's first scan call donates
+        # the original buffers, and the prefetch lane runs concurrently.
+        p_warm = jax.tree.map(jnp.array, params)
+
+        def _compile_turntables():
+            _viz.prewarm_turntables(p_warm, assets, config, rcfg)
+
+        prefetch_extra.append(_compile_turntables)
+
     with Timer() as t_fit:
         params, history = fit_sequence(
             config, assets, data, params, aux, rcfg=rcfg,
             out_dir=config.base_output_dir, image_log_every=10,
             mesh=mesh, resume=resume_payload, epoch_scan=args.epoch_scan,
-            prefetch_extra=[_compile_eval],
+            prefetch_extra=prefetch_extra,
             **val_kwargs,
         )
     save_result(params, config.base_output_dir, test=config.known_appearance)

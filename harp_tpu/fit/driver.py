@@ -442,23 +442,32 @@ def _fit_avals(config: HarpConfig, assets: AvatarAssets, n_frames: int):
     return p_abs, aux_abs
 
 
-def prewarm_stage1_program(config: HarpConfig, assets: AvatarAssets,
+def prewarm_stage_programs(config: HarpConfig, assets: AvatarAssets,
                            n_frames: int, rcfg: RasterConfig | None = None,
-                           *, epoch_scan: int = 10, extras: dict | None = None):
-    """Start AOT-compiling the protocol's FIRST stage-scan executable in a
-    daemon thread, before the sequence data exists. fit_sequence's prefetch
-    lane picks the Compiled out of _PREWARM (matching on the full abstract
-    signature) instead of compiling it again; on any mismatch it falls
-    through to its own compile — the prewarm can only ever waste its own
-    thread, never change results. Single-device only (a mesh run's sharded
-    lowering differs). Returns the Thread, or None when inapplicable."""
+                           *, epoch_scan: int = 10, extras: dict | None = None,
+                           stage_epochs: tuple = (0,)):
+    """Start AOT-compiling stage-scan executables in daemon threads, before
+    the sequence data exists. fit_sequence's prefetch lane picks each
+    Compiled out of _PREWARM (matching on the full abstract signature)
+    instead of compiling it again; on any mismatch it falls through to its
+    own compile — the prewarm can only ever waste its own threads, never
+    change results. Single-device only (a mesh run's sharded lowering
+    differs). Returns the list of Threads (possibly empty).
+
+    stage_epochs: one representative epoch per program to prewarm.
+    (0, config.training_stage[0]) covers the protocol's two distinct scan
+    programs — stage 1 (silhouette-only) and the app stages (stage 2 and 3
+    share one executable; flags differ only via traced scalars... they do
+    not: both are (True, True), one program). The r5 cold anatomy motivates
+    the second entry: stage 1 is too short (24 s) to cover the ~86 s
+    app-scan compile, leaving a 61.8 s wait at epoch 100 — compiling it
+    from process start hides it behind data generation + stage 1."""
     if not epoch_scan or epoch_scan <= 1:
-        return None
+        return []
     from harp_tpu.fit.optimizer import build_txs
     import threading as _threading
 
     rcfg = rcfg or config.raster_config()
-    flags = stage_flags(0, config)
     p_abs, aux_abs = _fit_avals(config, assets, n_frames)
     vgg = None
     if config.w_vgg > 0:
@@ -486,33 +495,66 @@ def prewarm_stage1_program(config: HarpConfig, assets: AvatarAssets,
     fids_es = sds((epoch_scan, steps, bs), jnp.int32)
     keys_es = sds((epoch_scan, steps, 2), jnp.uint32)
     f32s, i32s = sds((), f32), sds((), jnp.int32)
-    aval_tuple = (p_abs, s_abs, aux_abs, seq_img, seq_msk, seq_mer,
-                  fids_es, keys_es, rv_abs)
-    key = _prewarm_scan_key(config, assets, rcfg, flags, aval_tuple, vgg,
-                            extras)
-    if key in _PREWARM:
-        return None
-    ent = [_threading.Event(), None]
-    _PREWARM[key] = ent
+
+    gt_abs = None
+    if (vgg is not None and config.vgg_cache_gt
+            and n_frames <= config.vgg_cache_max_frames):
+        # Abstract shapes of the deferred GT-VGG cache, mirroring
+        # fit_sequence's vgg_gt_fn eval_shape (the app-stage scan's aux
+        # includes the cache pytree).
+        from harp_tpu.losses.perceptual import precompute_slices
+
+        gt_shapes = jax.eval_shape(
+            lambda im, vp: precompute_slices(
+                dataclasses.replace(vgg, params=tuple(vp)), im,
+                chunk=config.vgg_chunk,
+            ),
+            seq_img, aux_abs["vgg_params"],
+        )
+        gt_abs = tuple(sds(s.shape, s.dtype) for s in gt_shapes)
 
     scan_fn = make_epoch_scan(assets, config, rcfg, vgg, txs, extras)
-    c_on, a_on = flags
+    threads = []
+    for e in stage_epochs:
+        flags = stage_flags(int(e), config)
+        c_on, a_on = flags
+        aux_k = (dict(aux_abs, vgg_gt=gt_abs)
+                 if (a_on and gt_abs is not None) else aux_abs)
+        aval_tuple = (p_abs, s_abs, aux_k, seq_img, seq_msk, seq_mer,
+                      fids_es, keys_es, rv_abs)
+        key = _prewarm_scan_key(config, assets, rcfg, flags, aval_tuple, vgg,
+                                extras)
+        if key in _PREWARM:
+            continue
+        ent = [_threading.Event(), None]
+        _PREWARM[key] = ent
 
-    def work():
-        try:
-            ent[1] = scan_fn.lower(
-                p_abs, s_abs, aux_abs, seq_img, seq_msk, seq_mer,
-                fids_es, keys_es, rv_abs, (f32s, i32s, f32s), i32s,
-                coarse_on=c_on, app_on=a_on,
-            ).compile()
-        except Exception:
-            ent[1] = None
-        finally:
-            ent[0].set()
+        def work(ent=ent, aux_k=aux_k, c_on=c_on, a_on=a_on):
+            try:
+                ent[1] = scan_fn.lower(
+                    p_abs, s_abs, aux_k, seq_img, seq_msk, seq_mer,
+                    fids_es, keys_es, rv_abs, (f32s, i32s, f32s), i32s,
+                    coarse_on=c_on, app_on=a_on,
+                ).compile()
+            except Exception:
+                ent[1] = None
+            finally:
+                ent[0].set()
 
-    th = _threading.Thread(target=work, daemon=True)
-    th.start()
-    return th
+        th = _threading.Thread(target=work, daemon=True)
+        th.start()
+        threads.append(th)
+    return threads
+
+
+def prewarm_stage1_program(config: HarpConfig, assets: AvatarAssets,
+                           n_frames: int, rcfg: RasterConfig | None = None,
+                           *, epoch_scan: int = 10, extras: dict | None = None):
+    """Back-compat wrapper: prewarm only the stage-1 scan program."""
+    ths = prewarm_stage_programs(config, assets, n_frames, rcfg,
+                                 epoch_scan=epoch_scan, extras=extras,
+                                 stage_epochs=(0,))
+    return ths[0] if ths else None
 
 
 def fit_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
@@ -889,7 +931,13 @@ def fit_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
                 try:
                     fn()
                 except Exception:
-                    pass
+                    # A failed extra only costs its own warmup (the real
+                    # consumer recompiles transparently) — but say so:
+                    # silent failures here cost ~60 s of eval-time compiles
+                    # and are invisible otherwise.
+                    import traceback
+
+                    traceback.print_exc()
             return run
 
         # The axon worker overlaps concurrent compile/load requests almost

@@ -156,6 +156,10 @@ def evaluate_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
     vgg_params = tuple(
         (jnp.asarray(w), jnp.asarray(b)) for (w, b) in vgg.params
     )
+    import time as _time
+
+    _walls = {}
+    _t = _time.perf_counter()
     iou, l1, perc, msss, comps, verts = eval_program(
         params, data.images, data.masks, vgg_params
     )
@@ -163,6 +167,7 @@ def evaluate_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
     # One host sync for the metric vectors; composites transfer only when
     # they are actually written.
     iou, l1, perc, msss = (np.asarray(x) for x in (iou, l1, perc, msss))
+    _walls["eval_program_s"] = round(_time.perf_counter() - _t, 2)
     final = {
         "Silhouette IoU": float(iou.mean()),
         "L1": float(l1.mean()),
@@ -171,10 +176,12 @@ def evaluate_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
     }
 
     if save_images:
+        _t = _time.perf_counter()
         comps = np.asarray(comps)  # (n, H, 4W, 3) uint8, single transfer
         for f in range(n):
             viz.save_image(comps[f].astype(np.float32) / 255.0,
                            os.path.join(img_dir, "%04d.jpg" % f))
+        _walls["eval_composites_s"] = round(_time.perf_counter() - _t, 2)
 
     if config.eval_mesh and config.gt_mesh_dir:
         verts_np = np.asarray(verts)
@@ -195,6 +202,7 @@ def evaluate_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
                    vert_errs)
 
     if turntables:
+        _t = _time.perf_counter()
         rgb_dir = viz.render_360(params, 0, assets, config, rcfg, out_dir)
         nrm_dir = viz.render_360(
             params, 0, assets, config, rcfg, out_dir, render_normal=True
@@ -203,6 +211,7 @@ def evaluate_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
             rgb_dir, nrm_dir, os.path.join(out_dir, "render_360_combine")
         )
         viz.render_360_light(params, 0, assets, config, rcfg, out_dir)
+        _walls["eval_turntables_s"] = round(_time.perf_counter() - _t, 2)
 
     if save_images:
         viz.save_texture_maps(params, aux.get("uv_mask"), out_dir)
@@ -221,4 +230,5 @@ def evaluate_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
         with open(os.path.join(out_dir, "eval_results" + test_name + ".txt"), "w") as f:
             for k, v in final.items():
                 f.write(" %s: %.5f\n" % (k, v))
+    final.update(_walls)
     return final

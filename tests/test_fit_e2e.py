@@ -355,3 +355,44 @@ def test_key_stream_np_matches_jax():
         b = _key_stream_np(seed, count)
         assert a.dtype == np.uint32 and b.dtype == np.uint32
         assert np.array_equal(a, b), (seed, count)
+
+
+def test_prewarm_app_stage_program_is_used_and_exact():
+    """prewarm_stage_programs covers the app-stage scan too (its aux
+    includes the fabricated GT-VGG cache avals): the fit must consume BOTH
+    prewarmed executables and produce bit-identical results to an
+    unprewarmed fit. Motivated by the r5 cold anatomy: stage 1 (24 s) could
+    not cover the ~86 s app-scan compile, leaving a 61.8 s wait."""
+    from harp_tpu.fit import driver
+
+    config = HarpConfig(
+        img_size=48, focal_length=214.0, texture_size=64, self_shadow=False,
+        total_epoch=4, training_stage=(2, 2, 0), batch_size=2, w_vgg=1.0,
+        vgg_compute_dtype="float32",
+    )
+    rcfg = dataclasses.replace(RCFG, image_size=48)
+    images, masks, masks_er, gt, init = make_synthetic_sequence(
+        ASSETS, config, rcfg, n_frames=4, seed=11, perturb=0.2
+    )
+    data = FitData(images=images, masks=masks, masks_eroded=masks_er)
+
+    params, aux = init_params(init, ASSETS, config)
+    p_ref, h_ref = fit_sequence(config, ASSETS, data, params, aux, rcfg=rcfg,
+                                epoch_scan=2)
+
+    ths = driver.prewarm_stage_programs(
+        config, ASSETS, 4, rcfg, epoch_scan=2,
+        stage_epochs=(0, config.training_stage[0]),
+    )
+    assert len(ths) == 2, "expected two distinct prewarmed programs"
+    for th in ths:
+        th.join(timeout=600)
+    hits_before = len(driver._PREWARM_HITS)
+    params2, aux2 = init_params(init, ASSETS, config)
+    p_pre, h_pre = fit_sequence(config, ASSETS, data, params2, aux2,
+                                rcfg=rcfg, epoch_scan=2)
+    assert len(driver._PREWARM_HITS) >= hits_before + 2, \
+        "app-stage prewarm not consumed"
+    assert [h["loss"] for h in h_pre] == [h["loss"] for h in h_ref]
+    np.testing.assert_array_equal(np.asarray(p_pre["texture"]),
+                                  np.asarray(p_ref["texture"]))
