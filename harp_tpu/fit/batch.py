@@ -61,49 +61,83 @@ def unstack_params(batched, s: int):
 
 def make_batch_train_step(assets: AvatarAssets, config: HarpConfig,
                           rcfg: RasterConfig, vgg: Vgg16Features | None,
-                          txs):
-    """Vmapped-over-sequences train step (one jit).
+                          txs, mesh=None):
+    """Batched-over-sequences train step (one jit).
 
     The per-sequence step is driver._grad_step — the same definition the
     single-sequence fit uses, so the batch path cannot drift.
 
-    Backends: the Mosaic kernels (fused raster, PCF-grad one-hot) FAULT
-    the TPU when batching-lifted by this vmap (the pallas_call batching
-    rule prepends a grid dim the PrefetchScalarGridSpec index maps don't
-    expect — measured: S=1 runs, S=2 kernel-faults at 6.2 GiB, far from
-    HBM limits). The batch path therefore pins the XLA tile-pass/scatter
-    backends, which are bit-exact vs the kernels (test_pallas_raster.py,
-    test_shading.py) and vmap cleanly; folding S into the frame batch to
-    recover the kernels is a known future rework."""
+    Two batching strategies, picked by `mesh`:
+
+    - mesh=None (single device): jax.vmap over S. The Mosaic kernels
+      (fused raster, PCF-grad one-hot) FAULT the TPU when batching-lifted
+      by vmap (the pallas_call batching rule prepends a grid dim the
+      PrefetchScalarGridSpec index maps don't expect — measured: S=1 runs,
+      S=2 kernel-faults at 6.2 GiB, far from HBM limits), so this path
+      pins the bit-exact XLA tile-pass/scatter backends (~2.9× slower per
+      sequence; RESULTS round 5).
+    - mesh given (the pod path): shard_map over the mesh's first axis with
+      an UNBATCHED per-device body (a lax.map over the device's local
+      sequences — sequential scan iterations, no batching lift), so every
+      device runs the fast Mosaic kernels. Zero collectives — sequences
+      are embarrassingly parallel. Requires S % mesh_size == 0."""
     from harp_tpu.fit.driver import _grad_step
 
-    rcfg = dataclasses.replace(rcfg, backend="xla")
-    config = dataclasses.replace(config, pcf_backend="xla")
+    if mesh is None:
+        rcfg = dataclasses.replace(rcfg, backend="xla")
+        config = dataclasses.replace(config, pcf_backend="xla")
 
-    @partial(jax.jit, static_argnames=("coarse_on", "app_on"), donate_argnums=(0, 1))
-    def batch_step(params_S, opt_states_S, aux_S, fids_S, imgs_S, m_S, me_S,
-                   ref_verts_S, keys_S, lr_scales_S, vgg_params, *,
-                   coarse_on, app_on):
-        # The VGG filter bank rides in ONCE as a broadcast (in_axes=None)
-        # argument — not embedded as an executable literal (~31 MB of
-        # codegen, see fit/driver.compute_losses) and not stacked S times
-        # in HBM. Injected into each sequence's aux inside the vmap, where
-        # compute_losses picks it up.
-        def one(p, s, a, f, i, m, me, rv, k, ls, vp):
-            if vp is not None:
-                a = dict(a, vgg_params=vp)
-            return _grad_step(
-                p, s, a, f, i, m, me, rv, k, ls, assets=assets,
-                config=config, rcfg=rcfg, vgg=vgg, txs=txs, extras=None,
-                coarse_on=coarse_on, app_on=app_on,
+    def one(p, s, a, f, i, m, me, rv, k, ls, vp, coarse_on, app_on):
+        # The VGG filter bank rides in ONCE as a broadcast argument — not
+        # embedded as an executable literal (~31 MB of codegen, see
+        # fit/driver.compute_losses) and not stacked S times in HBM.
+        if vp is not None:
+            a = dict(a, vgg_params=vp)
+        return _grad_step(
+            p, s, a, f, i, m, me, rv, k, ls, assets=assets,
+            config=config, rcfg=rcfg, vgg=vgg, txs=txs, extras=None,
+            coarse_on=coarse_on, app_on=app_on,
+        )
+
+    if mesh is None:
+        @partial(jax.jit, static_argnames=("coarse_on", "app_on"),
+                 donate_argnums=(0, 1))
+        def batch_step(params_S, opt_states_S, aux_S, fids_S, imgs_S, m_S,
+                       me_S, ref_verts_S, keys_S, lr_scales_S, vgg_params, *,
+                       coarse_on, app_on):
+            return jax.vmap(
+                partial(one, coarse_on=coarse_on, app_on=app_on),
+                in_axes=(0,) * 10 + (None,),
+            )(params_S, opt_states_S, aux_S, fids_S, imgs_S, m_S, me_S,
+              ref_verts_S, keys_S, lr_scales_S, vgg_params)
+
+        return batch_step
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+
+    @partial(jax.jit, static_argnames=("coarse_on", "app_on"),
+             donate_argnums=(0, 1))
+    def batch_step_sharded(params_S, opt_states_S, aux_S, fids_S, imgs_S,
+                           m_S, me_S, ref_verts_S, keys_S, lr_scales_S,
+                           vgg_params, *, coarse_on, app_on):
+        def per_device(p, s, a, f, i, m, me, rv, k, ls, vp):
+            return jax.lax.map(
+                lambda x: one(*x, vp, coarse_on, app_on),
+                (p, s, a, f, i, m, me, rv, k, ls),
             )
 
-        return jax.vmap(
-            one, in_axes=(0,) * 10 + (None,)
+        return shard_map(
+            per_device, mesh=mesh,
+            in_specs=(P(axis),) * 10 + (P(),),
+            out_specs=P(axis),
+            check_rep=False,
         )(params_S, opt_states_S, aux_S, fids_S, imgs_S, m_S, me_S,
           ref_verts_S, keys_S, lr_scales_S, vgg_params)
 
-    return batch_step
+    return batch_step_sharded
 
 
 def fit_sequences_batch(config: HarpConfig, assets: AvatarAssets,
@@ -141,7 +175,13 @@ def fit_sequences_batch(config: HarpConfig, assets: AvatarAssets,
     opt_states_S = stack_params(
         [{g: txs[g].init(p) for g in txs} for p in params_list]
     )
-    batch_step = make_batch_train_step(assets, config, rcfg, vgg, txs)
+    if mesh is not None and S % mesh.devices.size != 0:
+        raise ValueError(
+            f"S={S} sequences must divide over the {mesh.devices.size}-device"
+            " mesh (pad/bucket the sequence set)"
+        )
+    batch_step = make_batch_train_step(assets, config, rcfg, vgg, txs,
+                                       mesh=mesh)
 
     ref_fids = jnp.zeros((S, 1), jnp.int32)
     ref_verts_S = jax.vmap(

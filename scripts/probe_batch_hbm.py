@@ -5,7 +5,13 @@ reference density for a given (S, batch) and prints memory_analysis —
 WITHOUT executing it (the axon TPU worker crashes, not raises, on HBM
 exhaustion, so we audit before any real batch-fit run).
 
-Usage: python scripts/probe_batch_hbm.py [S] [batch] [--vgg] [--run]
+Usage: python scripts/probe_batch_hbm.py [S] [batch] [--vgg] [--run] [--shard]
+
+--shard: build the step through the shard_map pod path over a 1-device
+mesh (per-device body is UNBATCHED -> the Mosaic kernels engage; the
+vmap path must pin the slower XLA backends). Local sequences run as
+sequential lax.map iterations, so S=2 --shard measures kernel-speed
+residency on one chip.
 """
 
 from __future__ import annotations
@@ -26,6 +32,7 @@ def main():
     B = int(args[1]) if len(args) > 1 else 18
     use_vgg = "--vgg" in sys.argv
     do_run = "--run" in sys.argv
+    use_shard = "--shard" in sys.argv
 
     from __graft_entry__ import _build
     from harp_tpu.data.synthetic import make_synthetic_sequence
@@ -75,7 +82,13 @@ def main():
     keys_S = jax.random.split(jax.random.PRNGKey(0), S)
     lr_S = jnp.ones((S,), jnp.float32)
 
-    step = make_batch_train_step(assets, config, rcfg, vgg, txs)
+    mesh = None
+    if use_shard:
+        from jax.sharding import Mesh
+        import numpy as _np
+
+        mesh = Mesh(_np.asarray(jax.devices()[:1]), ("seq",))
+    step = make_batch_train_step(assets, config, rcfg, vgg, txs, mesh=mesh)
     lowered = step.lower(
         params_S, opt_S, aux_S, fids_S, imgs_S, m_S, me_S, ref_verts_S,
         keys_S, lr_S, vgg_params, coarse_on=True, app_on=True,
