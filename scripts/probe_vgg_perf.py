@@ -1,18 +1,25 @@
-"""Where does the VGG block's 17.7% MFU go? (RESULTS round 5 roofline)
+"""Where does the VGG block's step cost go? (RESULTS round 5 roofline)
 
 Isolates the perceptual-loss pyramid at protocol shape (B18, 448², bf16,
-chunk 6) into pieces and times each on the chip:
+chunk 6) and times each piece on the chip against its analytic conv
+FLOPs.
 
-  fwd          — one pyramid forward (the GT-cache precompute cost)
-  fwd+bwd      — d/d(image) of the feature sum (conv + transposed-conv)
-  loss-path    — the exact chunked/remat loss delta as in compute_losses
-  variants     — conv dtype / remat toggles
-
-Each piece reports achieved TFLOP/s against its analytic conv FLOPs so
-the gap decomposes into (conv efficiency) vs (remat recompute) vs
-(chunk-loop overhead).
+Axon-tunnel measurement gotchas this script encodes (both measured):
+- block_until_ready() on a jit's SCALAR output returns immediately on the
+  axon backend — completion must be observed via an np.asarray() pull.
+- Repeated executions with bit-identical inputs appear to be deduped
+  (0.0 ms "runs"); vary an input scalar per iteration.
 
 Usage: python scripts/probe_vgg_perf.py
+
+Round-5 measured results (v5e, bf16 peak 197 TF/s):
+  fwd_b18:                48.3 ms   41.6 TF/s  21.1% MFU
+  grad_plain (3x):        85.3 ms   70.7 TF/s  35.9% MFU
+  grad_chunk6_remat (4x) 114.2 ms   70.4 TF/s  35.8% MFU
+  f32 variant (4x):      151.2 ms   53.2 TF/s  (27% of bf16 peak)
+So the conv pyramid's grad path runs at ~36% MFU; the step's larger VGG
+delta (173 ms) additionally carries the feature-L1 against the cached GT
+pyramid, masking, and scheduling overlap with the raster portion.
 """
 import os
 import sys
@@ -34,17 +41,6 @@ def fwd_flops(img):
     return vgg_conv_flops_per_frame(img)
 
 
-def timeit(fn, *args, n=8):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    ts = []
-    for _ in range(n):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        ts.append(time.perf_counter() - t0)
-    return float(np.mean(sorted(ts)[: max(n - 2, 1)]))
-
-
 def main():
     jax.config.update(
         "jax_compilation_cache_dir",
@@ -54,41 +50,30 @@ def main():
     from harp_tpu.losses.perceptual import Vgg16Features
 
     vgg = Vgg16Features.create(compute_dtype="bfloat16")
-    rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.rand(B, IMG, IMG, 3).astype(np.float32))
-    f1 = fwd_flops(IMG) * B
+    x0 = jnp.asarray(np.random.RandomState(0).rand(B, IMG, IMG, 3).astype(np.float32))
+    scales = [jnp.asarray(1.0 + 1e-4 * i, jnp.float32) for i in range(10)]
+    F = fwd_flops(IMG) * B
 
-    rows = []
+    def t(build, flops, name, n=6):
+        fn = jax.jit(lambda x, s: jnp.reshape(build(x, s), (1,)))
+        np.asarray(fn(x0, scales[0]))  # warmup + completion barrier
+        ts = []
+        for i in range(n):
+            t0 = time.perf_counter()
+            np.asarray(fn(x0, scales[i + 1]))  # pull = true completion
+            ts.append(time.perf_counter() - t0)
+        dt = float(np.mean(sorted(ts)[: n - 1]))
+        print(f"{name}: {dt*1e3:.1f} ms  {flops/dt/1e12:.1f} TF/s  "
+              f"{100*flops/dt/1e12/PEAK_BF16:.1f}% MFU", flush=True)
 
-    def report(name, dt, flops):
-        tf = flops / dt / 1e12
-        rows.append({"name": name, "ms": round(dt * 1e3, 1),
-                     "tflops": round(tf, 1),
-                     "mfu_pct": round(100 * tf / PEAK_BF16, 1)})
-        print(rows[-1], flush=True)
+    def fwd(x, s):
+        return sum(f.astype(jnp.float32).sum() for f in vgg.slices(x * s))
 
-    # E1: plain forward, whole batch (no chunking).
-    fwd = jax.jit(lambda x: sum(f.astype(jnp.float32).sum() for f in vgg.slices(x)))
-    report("fwd_b18", timeit(fwd, x), f1)
+    t(fwd, F, "fwd_b18")
+    t(lambda x, s: jax.grad(fwd)(x, s).sum(), 3 * F, "grad_plain(3x)")
 
-    # E2: forward in chunks of 6 via lax.map (the precompute/loss shape).
-    def fwd_chunked(x):
-        g = x.reshape(3, 6, IMG, IMG, 3)
-        return jax.lax.map(
-            lambda c: sum(f.astype(jnp.float32).sum() for f in vgg.slices(c)), g
-        ).sum()
-
-    report("fwd_b18_chunk6", timeit(jax.jit(fwd_chunked), x), f1)
-
-    # E3: fwd+bwd wrt the input image (2x fwd analytic: one transposed conv
-    # per conv; filters are constants).
-    g_plain = jax.jit(jax.grad(lambda x: fwd(x)))
-    report("fwd_bwd_b18", timeit(g_plain, x), 3 * f1)  # grad runs fwd+bwd
-
-    # E4: the loss path exactly as compute_losses runs it: chunked lax.map
-    # with jax.checkpoint around each chunk's pyramid.
-    def loss_chunked(x):
-        g = x.reshape(3, 6, IMG, IMG, 3)
+    def loss_chunked(x, s):
+        g = (x * s).reshape(B // 6, 6, IMG, IMG, 3)
 
         def one(c):
             return sum(f.astype(jnp.float32).sum()
@@ -96,12 +81,8 @@ def main():
 
         return jax.lax.map(one, g).sum()
 
-    g_remat = jax.jit(jax.grad(loss_chunked))
-    # analytic: fwd + remat-fwd + bwd = 4x fwd FLOPs (grad(f) = fwd+bwd = 3x,
-    # checkpoint adds one more fwd).
-    report("fwd_bwd_b18_chunk6_remat", timeit(g_remat, x), 4 * f1)
-
-    print("RESULT " + repr(rows))
+    t(lambda x, s: jax.grad(loss_chunked)(x, s).sum(), 4 * F,
+      "grad_chunk6_remat(4x)")
 
 
 if __name__ == "__main__":
