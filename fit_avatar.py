@@ -75,6 +75,11 @@ def parse_args():
                         "146 of 784 at 448^2 reference density — "
                         "scripts/probe_occupancy.py; overflow counters in "
                         "logs flag an insufficient budget), 1.0 below")
+    p.add_argument("--uint8-frames", action="store_true",
+                   help="store the sequence frames/masks as uint8 in HBM "
+                        "(4x smaller; decoded to f32 in-graph per "
+                        "minibatch). Lets 300-500 frame sequences fit on "
+                        "one chip; images round to 8 bits at ingest.")
     p.add_argument("--debug-nans", action="store_true")
     p.add_argument("--epoch-scan", type=int, default=10,
                    help="fuse N epochs per device dispatch (lax.scan) when "
@@ -230,6 +235,8 @@ def main():
                 config, assets, args.n_frames, rcfg,
                 epoch_scan=args.epoch_scan,
                 stage_epochs=(0, config.training_stage[0]),
+                frames_dtype=(jnp.uint8 if args.uint8_frames
+                              else jnp.float32),
             )
         images, masks, masks_er, gt, input_params = make_synthetic_sequence(
             assets, config, rcfg, n_frames=args.n_frames, seed=args.seed,
@@ -243,6 +250,10 @@ def main():
             use_smooth_seq=args.use_smooth_seq,
         )
         images, masks, masks_er = map(jnp.asarray, (images, masks, masks_er))
+    if args.uint8_frames:
+        enc = jax.jit(lambda x: jnp.round(
+            jnp.clip(x, 0.0, 1.0) * 255.0).astype(jnp.uint8))
+        images, masks, masks_er = enc(images), enc(masks), enc(masks_er)
     data = FitData(images=images, masks=masks, masks_eroded=masks_er)
     val = None
     if args.val_list and not args.synthetic:

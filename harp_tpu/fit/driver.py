@@ -223,6 +223,22 @@ def compute_losses(params, aux, fids, batch_imgs, batch_masks, batch_masks_er,
     return total, breakdown
 
 
+def _decode_frames(x):
+    """uint8-in-HBM sequence storage → f32 [0,1] at the point of use.
+
+    Long sequences (reference regime: 100-500 frames, data_util.py) do not
+    fit as resident f32 arrays — a 300-frame 448² set is ~1.2 GB before
+    any step temps, and the round-5 300-frame attempt crashed the worker.
+    Stored uint8 (x*255 at ingest) the same set is ~300 MB; the cast back
+    happens IN-GRAPH on the gathered minibatch (B frames, not the
+    sequence), where XLA fuses it into the first consumer. Binary masks
+    encode 0/255 so the round trip is exact; images lose only sub-8-bit
+    precision (real frames come from JPEG anyway)."""
+    if x.dtype == jnp.uint8:
+        return x.astype(jnp.float32) * (1.0 / 255.0)
+    return x
+
+
 def _grad_step(params, opt_states, aux, fids, batch_imgs, batch_masks,
                batch_masks_er, ref_verts, key, lr_scale, *, assets, config,
                rcfg, vgg, txs, extras, coarse_on: bool, app_on: bool):
@@ -231,6 +247,9 @@ def _grad_step(params, opt_states, aux, fids, batch_imgs, batch_masks,
     lr_scale). The single definition is shared by the per-step jit
     (make_train_step) and the fused epoch scan (make_epoch_scan) so the two
     dispatch modes cannot drift semantically."""
+    batch_imgs = _decode_frames(batch_imgs)
+    batch_masks = _decode_frames(batch_masks)
+    batch_masks_er = _decode_frames(batch_masks_er)
     (total, breakdown), grads = jax.value_and_grad(
         lambda p: compute_losses(
             p, aux, fids, batch_imgs, batch_masks, batch_masks_er, assets,
@@ -390,6 +409,26 @@ def make_epoch_scan(assets: AvatarAssets, config: HarpConfig, rcfg: RasterConfig
     return run_epochs
 
 
+# The axon TPU worker dies (crashes/restarts, losing all loaded state) when
+# ONE device program executes for longer than roughly a minute — measured
+# round 5 with the app-stage scan on a 300-frame sequence: 16-step segments
+# of E=5 epochs (~45 s) run, E=10 (~85 s) reproducibly kill the worker, as
+# did every other >80-step dispatch (B12×25-step, B18×25-step, f32 and
+# uint8 alike), while all <=80-step dispatches across five protocol runs
+# never have. The fused epoch scan therefore caps the WORK per dispatch,
+# not just the epochs per segment: long sequences (more steps/epoch) get a
+# proportionally shorter scan, falling back to the per-step loop when even
+# one epoch is too long.
+MAX_SCAN_STEPS_PER_DISPATCH = 80
+
+
+def _effective_epoch_scan(epoch_scan: int, n_frames: int, batch_size: int) -> int:
+    if not epoch_scan or epoch_scan <= 1:
+        return epoch_scan
+    steps = max(n_frames // max(min(batch_size, n_frames), 1), 1)
+    return max(min(epoch_scan, MAX_SCAN_STEPS_PER_DISPATCH // steps), 1)
+
+
 # Stage-1 scan programs compiled BEFORE the sequence data exists (keyed on
 # the fabricated aval signature): on a cold cache the first stage scan is
 # the fit's longest serial compile wait (~40-60 s), yet its shapes are fully
@@ -445,7 +484,8 @@ def _fit_avals(config: HarpConfig, assets: AvatarAssets, n_frames: int):
 def prewarm_stage_programs(config: HarpConfig, assets: AvatarAssets,
                            n_frames: int, rcfg: RasterConfig | None = None,
                            *, epoch_scan: int = 10, extras: dict | None = None,
-                           stage_epochs: tuple = (0,)):
+                           stage_epochs: tuple = (0,),
+                           frames_dtype=jnp.float32):
     """Start AOT-compiling stage-scan executables in daemon threads, before
     the sequence data exists. fit_sequence's prefetch lane picks each
     Compiled out of _PREWARM (matching on the full abstract signature)
@@ -462,6 +502,8 @@ def prewarm_stage_programs(config: HarpConfig, assets: AvatarAssets,
     the second entry: stage 1 is too short (24 s) to cover the ~86 s
     app-scan compile, leaving a 61.8 s wait at epoch 100 — compiling it
     from process start hides it behind data generation + stage 1."""
+    epoch_scan = _effective_epoch_scan(epoch_scan, n_frames,
+                                       config.batch_size)
     if not epoch_scan or epoch_scan <= 1:
         return []
     from harp_tpu.fit.optimizer import build_txs
@@ -486,10 +528,11 @@ def prewarm_stage_programs(config: HarpConfig, assets: AvatarAssets,
     )
     H = config.img_size
     f32 = jnp.float32
+    fdt = jnp.dtype(frames_dtype)
     sds = jax.ShapeDtypeStruct
-    seq_img = sds((n_frames, H, H, 3), f32)
-    seq_msk = sds((n_frames, H, H), f32)
-    seq_mer = sds((n_frames, H, H), f32)
+    seq_img = sds((n_frames, H, H, 3), fdt)
+    seq_msk = sds((n_frames, H, H), fdt)
+    seq_mer = sds((n_frames, H, H), fdt)
     bs = min(config.batch_size, n_frames)
     steps = max(n_frames // bs, 1)
     fids_es = sds((epoch_scan, steps, bs), jnp.int32)
@@ -509,7 +552,7 @@ def prewarm_stage_programs(config: HarpConfig, assets: AvatarAssets,
                 dataclasses.replace(vgg, params=tuple(vp)), im,
                 chunk=config.vgg_chunk,
             ),
-            seq_img, aux_abs["vgg_params"],
+            sds((n_frames, H, H, 3), f32), aux_abs["vgg_params"],
         )
         gt_abs = tuple(sds(s.shape, s.dtype) for s in gt_shapes)
 
@@ -686,7 +729,9 @@ def fit_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
         # alone cost ~30 s of pre-epoch-0 tunnel load).
         from harp_tpu.losses.perceptual import precompute_slices
 
-        vgg_gt_masked = data.images * data.masks_eroded[..., None]
+        vgg_gt_masked = jax.jit(
+            lambda i, m: _decode_frames(i) * _decode_frames(m)[..., None]
+        )(data.images, data.masks_eroded)
         vgg_gt_fn = jax.jit(
             lambda im, vp: precompute_slices(
                 dataclasses.replace(vgg, params=tuple(vp)), im,
@@ -765,6 +810,7 @@ def fit_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
         for _ in range(start_epoch):
             rng.permutation(n)
 
+    epoch_scan = _effective_epoch_scan(epoch_scan, n, bs)
     scan_fn = None
     if epoch_scan and epoch_scan > 1:
         scan_fn = make_epoch_scan(assets, config, rcfg, vgg, txs,
@@ -1459,6 +1505,7 @@ def _log_render_compiled(assets, config, rcfg, n, p_tree, masks_tree):
         fids = jnp.arange(n)
 
         def render(p, masks_n):
+            masks_n = _decode_frames(masks_n)
             verts, _ = pipeline.mesh_forward(p, fids, assets, config)
             R, T = pipeline.camera_for_frames(p, fids, config)
             alpha = pipeline.render_silhouette(verts, assets, R, T, config, rcfg)

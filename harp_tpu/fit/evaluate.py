@@ -105,8 +105,10 @@ def make_eval_program(config: HarpConfig, assets: AvatarAssets, data: FitData,
             verts, alpha, rgb, normal_img = _render_frame_batch(
                 params, fids, assets, config, rcfg
             )
-            gt_img = images[fids]
-            gt_mask = masks[fids]
+            from harp_tpu.fit.driver import _decode_frames
+
+            gt_img = _decode_frames(images[fids])
+            gt_mask = _decode_frames(masks[fids])
             iou = iou_per_frame(gt_mask, alpha)
             l1 = l1_per_frame(gt_img, rgb)
             msss = ms_ssim_per_frame(gt_img, rgb)

@@ -183,22 +183,62 @@ def _light_sweep_fn(assets, config, rcfg, fid: int, num: int, z_range):
     return sweep
 
 
+# AOT-compiled sweep executables, keyed like _SWEEP_CACHE plus the input
+# aval signature. Populated by prewarm_turntables; consumed by
+# render_360/render_360_light when the signature matches.
+_SWEEP_AOT: dict = {}
+
+
+def _params_sig(params):
+    import jax
+
+    return tuple(
+        (tuple(leaf.shape), str(jax.numpy.asarray(leaf).dtype))
+        for leaf in jax.tree.leaves(params)
+    )
+
+
 def prewarm_turntables(params, assets, config, rcfg, fid: int = 0,
                        views_per_axis: int = 36, num_lights: int = 40,
                        z_range=(-5.0, 5.0)) -> None:
-    """Compile-and-execute the three sweep programs (RGB turntable, normal
-    turntable, light sweep) so the post-fit eval hits a warm jit cache.
-    Meant for the fit's prefetch lanes: `params` may be ANY pytree with the
-    final parameters' shapes (the rendered views are discarded — only the
-    compile is wanted). ~3 compiles + <2 s of execution."""
+    """AOT-COMPILE the three sweep programs (RGB turntable, normal
+    turntable, light sweep) so the post-fit eval starts from loaded
+    executables. Meant for the fit's prefetch lanes: `params` may be ANY
+    pytree with the final parameters' shapes.
+
+    Compile-only on purpose: an earlier version EXECUTED the sweeps here,
+    and that execution (raster temps at protocol resolution) landed
+    concurrently with the first app-stage scan's ~7 GiB of temps — the
+    round-5 300-frame runs crashed the TPU worker at exactly the stage-2
+    boundary until the overlap was removed. Compiling/loading overlaps
+    training safely; executing does not."""
     import jax
 
-    for fn in (
-        _turntable_fn(assets, config, rcfg, fid, False, views_per_axis),
-        _turntable_fn(assets, config, rcfg, fid, True, views_per_axis),
-        _light_sweep_fn(assets, config, rcfg, fid, num_lights, z_range),
+    _abs = lambda x: jax.ShapeDtypeStruct(jnp.shape(x),
+                                          jax.numpy.asarray(x).dtype)
+    p_abs = jax.tree.map(_abs, params)
+    sig = _params_sig(params)
+    for kind, fn in (
+        (("360", fid, False, views_per_axis),
+         _turntable_fn(assets, config, rcfg, fid, False, views_per_axis)),
+        (("360", fid, True, views_per_axis),
+         _turntable_fn(assets, config, rcfg, fid, True, views_per_axis)),
+        (("light", fid, num_lights, tuple(z_range)),
+         _light_sweep_fn(assets, config, rcfg, fid, num_lights, z_range)),
     ):
-        jax.block_until_ready(fn(params))
+        key = (kind, id(assets), config, rcfg, sig)
+        if key not in _SWEEP_AOT:
+            _SWEEP_AOT[key] = (assets, fn.lower(p_abs).compile())
+
+
+def _sweep_exec(kind, assets, config, rcfg, params, jit_fn):
+    """The prewarmed AOT executable for this sweep+signature, else the
+    plain jitted fn (which compiles on first call)."""
+    key = (kind, id(assets), config, rcfg, _params_sig(params))
+    hit = _SWEEP_AOT.get(key)
+    if hit is not None and hit[0] is assets:
+        return hit[1]
+    return jit_fn
 
 
 def render_360(params, fid, assets, config, rcfg, out_dir: str,
@@ -216,8 +256,10 @@ def render_360(params, fid, assets, config, rcfg, out_dir: str,
     sub = "render_360_normal" if render_normal else "render_360"
     out = os.path.join(out_dir, sub)
     os.makedirs(out, exist_ok=True)
-    sweep = _turntable_fn(assets, config, rcfg, int(fid), render_normal,
-                          views_per_axis)
+    sweep = _sweep_exec(("360", int(fid), render_normal, views_per_axis),
+                        assets, config, rcfg, params,
+                        _turntable_fn(assets, config, rcfg, int(fid),
+                                      render_normal, views_per_axis))
     imgs = np.asarray(sweep(params))  # single host transfer, uint8
     for idx in range(2 * views_per_axis):
         prefix = "" if idx < views_per_axis else "h_"
@@ -234,7 +276,10 @@ def render_360_light(params, fid, assets, config, rcfg, out_dir: str,
     render_360 for why (tunnel round-trips dominated)."""
     out = os.path.join(out_dir, "render_360_light")
     os.makedirs(out, exist_ok=True)
-    sweep = _light_sweep_fn(assets, config, rcfg, int(fid), num, z_range)
+    sweep = _sweep_exec(("light", int(fid), num, tuple(z_range)),
+                        assets, config, rcfg, params,
+                        _light_sweep_fn(assets, config, rcfg, int(fid), num,
+                                        z_range))
     imgs = np.asarray(sweep(params))  # single host transfer, uint8
     for i in range(num):
         save_image(imgs[i], os.path.join(out, f"{i:04d}.jpg"))

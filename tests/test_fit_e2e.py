@@ -396,3 +396,34 @@ def test_prewarm_app_stage_program_is_used_and_exact():
     assert [h["loss"] for h in h_pre] == [h["loss"] for h in h_ref]
     np.testing.assert_array_equal(np.asarray(p_pre["texture"]),
                                   np.asarray(p_ref["texture"]))
+
+
+def test_uint8_frame_storage_matches_f32():
+    """uint8-in-HBM sequence storage (the long-sequence memory mode,
+    --uint8-frames): a fit on uint8-encoded frames with the in-graph
+    decode must match a fit on the PRE-DECODED f32 arrays bit-for-bit —
+    the decode is the only difference, and 0/255 mask encoding round-trips
+    exactly."""
+    config = HarpConfig(img_size=64, focal_length=285.0, texture_size=64,
+                        self_shadow=False, total_epoch=4,
+                        training_stage=(2, 2, 0), batch_size=2, w_vgg=1.0,
+                        vgg_compute_dtype="float32")
+    images, masks, masks_er, gt, init = make_synthetic_sequence(
+        ASSETS, config, RCFG, n_frames=4, seed=13, perturb=0.2
+    )
+    enc = lambda x: jnp.round(jnp.clip(x, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+    u8 = FitData(images=enc(images), masks=enc(masks),
+                 masks_eroded=enc(masks_er))
+    dec = lambda x: x.astype(jnp.float32) / 255.0
+    f32 = FitData(images=dec(u8.images), masks=dec(u8.masks),
+                  masks_eroded=dec(u8.masks_eroded))
+
+    params, aux = init_params(init, ASSETS, config)
+    p_u8, h_u8 = fit_sequence(config, ASSETS, u8, params, aux, rcfg=RCFG,
+                              epoch_scan=2)
+    params2, aux2 = init_params(init, ASSETS, config)
+    p_f32, h_f32 = fit_sequence(config, ASSETS, f32, params2, aux2, rcfg=RCFG,
+                                epoch_scan=2)
+    assert [h["loss"] for h in h_u8] == [h["loss"] for h in h_f32]
+    np.testing.assert_array_equal(np.asarray(p_u8["texture"]),
+                                  np.asarray(p_f32["texture"]))
