@@ -180,9 +180,10 @@ def evaluate_sequence(config: HarpConfig, assets: AvatarAssets, data: FitData,
     if save_images:
         _t = _time.perf_counter()
         comps = np.asarray(comps)  # (n, H, 4W, 3) uint8, single transfer
-        for f in range(n):
-            viz.save_image(comps[f].astype(np.float32) / 255.0,
-                           os.path.join(img_dir, "%04d.jpg" % f))
+        viz.save_images_parallel(
+            (comps[f], os.path.join(img_dir, "%04d.jpg" % f))
+            for f in range(n)
+        )
         _walls["eval_composites_s"] = round(_time.perf_counter() - _t, 2)
 
     if config.eval_mesh and config.gt_mesh_dir:

