@@ -73,3 +73,14 @@ def test_batch_fit_sharded_matches_unsharded():
             np.asarray(ref_params[0][k]), np.asarray(sh_params[0][k]),
             atol=2e-4, rtol=1e-3,
         )
+
+
+def test_batch_fit_mesh_divisibility_guard():
+    """The shard_map pod path requires S to divide over the mesh."""
+    from jax.sharding import Mesh
+
+    data, params_l, aux_l = _make_batch(n_seq=3)
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("seq",))
+    with pytest.raises(ValueError, match="divide"):
+        fit_sequences_batch(CONFIG, ASSETS, data, params_l, aux_l,
+                            rcfg=RCFG, mesh=mesh)

@@ -427,3 +427,23 @@ def test_uint8_frame_storage_matches_f32():
     assert [h["loss"] for h in h_u8] == [h["loss"] for h in h_f32]
     np.testing.assert_array_equal(np.asarray(p_u8["texture"]),
                                   np.asarray(p_f32["texture"]))
+
+
+def test_effective_epoch_scan_cap():
+    """The per-dispatch work cap (axon worker dies past ~a minute of one
+    program execution — RESULTS round 5): long sequences get shorter scan
+    segments; the 36/150-frame protocol configs are unchanged."""
+    from harp_tpu.fit.driver import (
+        MAX_SCAN_STEPS_PER_DISPATCH, _effective_epoch_scan,
+    )
+
+    assert _effective_epoch_scan(10, 36, 18) == 10    # protocol: unchanged
+    assert _effective_epoch_scan(10, 150, 18) == 10   # 8 steps -> 80 == cap
+    assert _effective_epoch_scan(10, 300, 18) == 5    # 16 steps -> 80
+    assert _effective_epoch_scan(10, 300, 12) == 3    # 25 steps -> 75
+    assert _effective_epoch_scan(10, 3000, 18) == 1   # per-step loop floor
+    assert _effective_epoch_scan(0, 300, 18) == 0     # scan disabled stays
+    for n, bs in ((36, 18), (150, 18), (300, 12), (500, 10)):
+        e = _effective_epoch_scan(10, n, bs)
+        if e > 1:
+            assert e * (n // bs) <= MAX_SCAN_STEPS_PER_DISPATCH
